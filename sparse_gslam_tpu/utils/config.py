@@ -1,0 +1,144 @@
+"""Configuration schema for the SLAM engine.
+
+Mirrors the reference's layered roslaunch + per-dataset YAML parameter
+scheme (reference: datasets/slam_config_example.yaml:1-70, read via
+XmlRpc in src/drone.cpp:27-32, src/submap_loop_closer.cpp:43-57,
+src/multicloud2.cpp:11-17, ls_extractor/ros_utils.h:6-14) as two plain
+dataclasses loadable from the same per-dataset directory layout
+(<dataset>/slam-<N>.yaml + <dataset>/line_extractor.yaml).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Optional
+
+import yaml
+
+
+@dataclasses.dataclass
+class ExtractorConfig:
+    """Line-extractor parameters (reference: ls_extractor/defs.h:25-34)."""
+
+    outlier_dist: float = 0.1
+    min_split_dist: float = 0.1
+    max_line_gap: float = 0.25
+    min_line_length: float = 0.5
+    rmse_thresh: float = 0.1  # unused by SMC, kept for schema parity
+    cluster_threshold: float = 100.0
+    min_line_points: int = 10
+    # Behavior switch NOT in the reference: the reference's chi^2 merge step
+    # is unreachable as shipped (smc.cpp:14-25 gapBetween never updates its
+    # 1e10 init, so the gap test always fails). "reference" replicates that;
+    # "correct" enables information-weighted merging with a proper min-gap.
+    merge_mode: str = "reference"
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "ExtractorConfig":
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: dict) -> "ExtractorConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in raw.items() if k in fields})
+
+
+@dataclasses.dataclass
+class SlamConfig:
+    """SLAM parameters; schema = datasets/slam_config_example.yaml:1-70."""
+
+    # odometry / range noise
+    std_x: float = 0.2
+    std_y: float = 1.0
+    std_w: float = 1.0
+    std_r: float = 0.1
+    # lidar geometry
+    angle_min: float = -math.pi / 2
+    angle_max: float = math.pi / 2
+    range_min: float = 0.0
+    range_max: float = 7.0
+    scan_size: int = 4
+    multicloud_size: int = 120
+    # landmark graph / data association
+    landmark_max_gap: float = 2.0
+    landmark_max_dist: float = 10.0
+    landmark_assoc_thresh: float = 0.5
+    # loop closure matcher
+    last_traj_length: float = 5.0
+    loop_closure_min_score: float = 0.7
+    angular_search_window: float = 1.0
+    linear_search_window: float = 5.0
+    branch_and_bound_depth: int = 5
+    # occupancy grid
+    hit_probability: float = 0.7
+    miss_probability: float = 0.4
+    # submap builder
+    max_match_distance: float = 5.0
+    submap_resolution: float = 0.1
+    submap_trajectory_length: float = 6.0
+    submap_overlap_poses: int = 2
+    last_submap_not_match: int = 3
+    loop_closing_threads: int = 8  # reference thread count; here = match batch
+    # robust kernel
+    dcs_phi: float = 1.0
+    # driver
+    match_interval: int = 10
+    data_provider: str = "carmen"
+    # visualization (kept for schema parity)
+    visualize_rate: float = 2.0
+    map_resolution: float = 0.1
+    # ignored reference fields
+    address: str = ""
+    std_rpcm: float = 0.0001
+
+    # --- new-engine-only knobs (not in the reference schema) ---
+    # preallocation bucket sizes for fixed-shape jit state
+    max_keyframes: int = 4096
+    max_landmarks: int = 1024
+    max_obs_edges: int = 8192
+    max_closures: int = 256
+    max_submaps: int = 512
+    seed: int = 0
+
+    @property
+    def angle_increment(self) -> float:
+        return (self.angle_max - self.angle_min) / (self.scan_size - 1)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "SlamConfig":
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: dict) -> "SlamConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in raw.items() if k in fields})
+
+
+def load_dataset_config(
+    dataset_dir: str, postfix: str = ""
+) -> tuple[SlamConfig, ExtractorConfig]:
+    """Load <dir>/slam[-postfix].yaml + <dir>/line_extractor.yaml.
+
+    Matches the launch-file convention (launch/log_runner.launch:11-18):
+    the slam yaml is `slam{postfix}.yaml` where postfix is e.g. "-11";
+    extractor params may live in line_extractor.yaml or inline in the
+    slam yaml (some reference datasets put them in either place).
+    """
+    slam_path = os.path.join(dataset_dir, f"slam{postfix}.yaml")
+    with open(slam_path) as f:
+        raw = yaml.safe_load(f) or {}
+    slam = SlamConfig.from_dict(raw)
+    ls_path = os.path.join(dataset_dir, "line_extractor.yaml")
+    ls_raw = {}
+    if os.path.exists(ls_path):
+        with open(ls_path) as f:
+            ls_raw = yaml.safe_load(f) or {}
+    # allow extractor keys inline in the slam yaml (e.g. intel-lab slam-11)
+    merged = {**raw, **ls_raw}
+    extractor = ExtractorConfig.from_dict(merged)
+    return slam, extractor
