@@ -27,6 +27,7 @@ class SimConfig:
     range_noise: float = 0.01
     odom_trans_noise: float = 0.006  # per-step fractional drift
     odom_rot_noise: float = 0.004
+    laps: int = 1  # times the waypoint tour is repeated
     dt: float = 0.2
     speed: float = 0.35  # m per step
     turn_rate: float = 0.12  # rad per step max
@@ -105,6 +106,8 @@ def simulate(cfg: SimConfig = SimConfig(), walls=None, waypoints=None):
         walls = rect_room_world()
     if waypoints is None:
         waypoints = loop_waypoints()
+    if cfg.laps > 1:
+        waypoints = np.concatenate([waypoints] * cfg.laps)
     angles = np.linspace(cfg.fov[0], cfg.fov[1], cfg.n_beams)
 
     gt = [np.array([waypoints[0][0], waypoints[0][1], 0.0])]
@@ -188,14 +191,23 @@ def write_carmen_log(path: str, sim: dict):
             )
 
 
-def make_relations(sim: dict, seps=(1.0, 5.0, 15.0, 40.0), stride=5):
+def make_relations(
+    sim: dict, seps=(1.0, 5.0, 15.0, 40.0), stride=5, warmup: float = 20.0
+):
     """Ground-truth relative motions over several time separations,
-    like the Freiburg .relations files."""
+    like the Freiburg .relations files.
+
+    Relations starting before `warmup` seconds are skipped: the SLAM
+    system (reference and ours alike) emits its first trajectory line
+    only once the multiscan window fills, so earlier relations would
+    compare against the wrong pose."""
     times, gt = sim["times"], sim["gt"]
     t1, t2, rel = [], [], []
     for sep in seps:
         k = max(1, int(round(sep / sim["cfg"].dt)))
         for i in range(0, len(times) - k, stride):
+            if times[i] < warmup:
+                continue
             t1.append(times[i])
             t2.append(times[i + k])
             rel.append(se2.relative(gt[i], gt[i + k]))

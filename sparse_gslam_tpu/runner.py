@@ -1,0 +1,98 @@
+"""Dataset driver CLI: the log_runner equivalent (src/log_runner.cpp).
+
+Usage:
+    python -m sparse_gslam_tpu.runner --dataset-dir datasets/sim \
+        --dataset-name sim [--postfix -11] [--no-backend] [--eval]
+
+Reads <dir>/slam<postfix>.yaml (+ line_extractor.yaml), replays
+<dir>/<name>.log through the SLAM system, writes <dir>/<name>.result
++ .ftime/.btime/.dtime, and (with --eval) computes the relations ATE
+against <dir>/<name>.relations, replacing the external metricEvaluator
+flow (datasets/eval.sh).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset-dir", required=True)
+    ap.add_argument("--dataset-name", required=True)
+    ap.add_argument("--postfix", default="")
+    ap.add_argument("--no-backend", action="store_true")
+    ap.add_argument("--eval", action="store_true")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument(
+        "--platform", default="cpu",
+        help="jax platform for solver kernels (cpu keeps float64)",
+    )
+    args = ap.parse_args(argv)
+
+    os.environ.setdefault("JAX_PLATFORMS", args.platform)
+    import jax
+
+    jax.config.update("jax_platforms", args.platform)
+    if args.platform == "cpu":
+        jax.config.update("jax_enable_x64", True)
+
+    from .io.providers import create_data_provider
+    from .io.result_writer import TimingWriter
+    from .models.slam import SlamSystem
+    from .utils.config import load_dataset_config
+
+    slam_cfg, ls_cfg = load_dataset_config(args.dataset_dir, args.postfix)
+    prefix = os.path.join(args.dataset_dir, args.dataset_name)
+    provider = create_data_provider(slam_cfg.data_provider, prefix + ".log")
+
+    system = SlamSystem(slam_cfg, ls_cfg, enable_backend=not args.no_backend)
+    system.timing = TimingWriter(prefix)
+
+    t0 = time.time()
+    n = 0
+    for frame in provider.frames():
+        system.process_frame(frame)
+        n += 1
+        if args.max_frames and n >= args.max_frames:
+            break
+        if n % 500 == 0:
+            print(
+                f"frame {n} kf={len(system.frontend.keyframes)} "
+                f"lms={len(system.frontend.landmarks)} "
+                f"({time.time() - t0:.1f}s)",
+                flush=True,
+            )
+    system.final_cleanup()
+    wall = time.time() - t0
+    system.timing.close()
+    system.write_result(prefix + ".result")
+    nkf = len(system.frontend.keyframes)
+    print(
+        f"done: {n} frames, {nkf} keyframes, "
+        f"{len(system.frontend.landmarks)} landmarks, "
+        f"{system.frontend.rejected_ticks} rejected ticks, "
+        f"{wall:.1f}s wall ({n / max(wall, 1e-9):.1f} fps)"
+    )
+    if system.backend is not None:
+        print(
+            f"backend: {system.backend.submap_count} submaps, "
+            f"{system.backend.closure_count} closures "
+            f"({system.backend.false_closure_count} pruned)"
+        )
+
+    if args.eval:
+        from .eval.relations import evaluate_files
+
+        rel = prefix + ".relations"
+        if os.path.exists(rel):
+            print(evaluate_files(prefix + ".result", rel))
+        else:
+            print(f"no relations file at {rel}; skipping eval")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
