@@ -1,0 +1,351 @@
+"""Submap construction + loop-closure detection + pose-graph backend.
+
+Re-implements SubmapLoopCloser (src/sparse_gslam/src/submap_loop_closer
+.cpp:43-297, include/loop_closer/submap_loop_closer.h) and the
+pose-graph bookkeeping of graphs.h:30-40 / log_runner.cpp:176-206:
+
+  precompute(): accumulate ~submap_trajectory_length of keyframes into
+  a multicloud, ray-trace it into a match-resolution grid + a fixed
+  0.05 m high-res grid, anchor at the middle keyframe, precompute the
+  dilated score grid (pyramid level 0).
+
+  match(): build the query multiscan from the last ~last_traj_length of
+  keyframes, select candidate submaps by distance (the ctpl thread-pool
+  fan-out of the reference becomes sequential jit calls of the batched
+  FFT correlator -- each call already scores every rotation x offset in
+  parallel), take the best score >= loop_closure_min_score, refine on
+  the high-res grid, extend the pose-graph chain, prune the landmark
+  graph to one fixed pose, add the DCS closure edge and run 20 GN
+  iterations.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from ..ops import matching, solvers
+from ..ops.grid import GridSpec, build_submap_grid, precompute_pyramid
+from ..utils import se2
+from ..utils.config import SlamConfig
+from .frontend import Frontend, _bucket
+from .range_data import construct_multicloud
+
+_jitted_pg_solver = {}
+
+
+def _get_pg_solver(phi: float):
+    key = float(phi)
+    if key not in _jitted_pg_solver:
+        import jax
+
+        _jitted_pg_solver[key] = jax.jit(
+            lambda g: solvers.optimize_pose_graph(g, key, 20)
+        )
+    return _jitted_pg_solver[key]
+
+
+@dataclasses.dataclass
+class Submap:
+    """Reference: include/submap.h:18-41."""
+
+    anchor_idx: int  # keyframe index of the anchoring pose
+    score_grid: object  # (G,G) jnp: dilated level-0 score grid
+    origin: object  # (2,) jnp
+    high_res: object  # (G2,G2) jnp probability grid
+    high_origin: object
+    resolution: float
+
+
+@dataclasses.dataclass
+class Closure:
+    i: int  # pose index of submap anchor
+    j: int  # pose index of matched query mid
+    meas: np.ndarray  # (3,)
+    info: np.ndarray  # (3,3)
+    active: bool = True
+
+
+class SubmapLoopCloser:
+    def __init__(self, config: SlamConfig, frontend: Frontend):
+        self.config = config
+        self.frontend = frontend
+        self.submaps: list[Submap] = []
+        self.last_pose_idx = 0
+        self.last_opt_pose_index = 0
+        self.loop_closure_min_score = config.loop_closure_min_score
+        # pose graph state (parallel arrays per chain vertex)
+        self.pg_poses: list[np.ndarray] = []
+        self.pg_meas: list[np.ndarray] = []
+        self.pg_info: list[np.ndarray] = []
+        self.closures: list[Closure] = []
+        self.false_closures = 0
+        # grid geometry: big enough for traj_len + 2*range_max
+        extent = (
+            config.submap_trajectory_length + 2.0 * config.range_max + 2.0
+        )
+        size = int(math.ceil(extent / config.submap_resolution / 64.0) * 64)
+        self.spec = GridSpec(size=size, resolution=config.submap_resolution)
+        hsize = int(math.ceil(extent / 0.05 / 64.0) * 64)
+        self.high_spec = GridSpec(size=hsize, resolution=0.05)
+        self.match_calls = 0
+
+    # -- stats -----------------------------------------------------------
+    @property
+    def pose_count(self) -> int:
+        return len(self.pg_poses)
+
+    @property
+    def submap_count(self) -> int:
+        return len(self.submaps)
+
+    @property
+    def closure_count(self) -> int:
+        return sum(1 for c in self.closures if c.active)
+
+    @property
+    def false_closure_count(self) -> int:
+        return self.false_closures
+
+    def pose_estimates(self) -> np.ndarray:
+        return np.stack(self.pg_poses)
+
+    # --------------------------------------------------------------------
+    def precompute(self):
+        """Finalize a submap when enough trajectory accumulated
+        (submap_loop_closer.cpp:63-98)."""
+        kfs = self.frontend.keyframes
+        if not kfs:
+            return
+        est = self.frontend.estimates()
+        traj_len = 0.0
+        mid = -1
+        i = self.last_pose_idx + 1
+        while i < len(kfs):
+            traj_len += float(
+                np.linalg.norm(est[i, :2] - est[i - 1, :2])
+            )
+            if traj_len > self.config.submap_trajectory_length / 2 and mid == -1:
+                mid = i
+            if traj_len > self.config.submap_trajectory_length:
+                break
+            i += 1
+        if traj_len <= self.config.submap_trajectory_length:
+            return
+        rd = construct_multicloud(
+            [k.data for k in kfs], est, self.last_pose_idx, mid, i + 1
+        )
+        cfg = self.config
+        sm_grid = build_submap_grid(
+            rd, self.spec, cfg.hit_probability, cfg.miss_probability
+        )
+        hi_grid = build_submap_grid(
+            rd, self.high_spec, cfg.hit_probability, cfg.miss_probability
+        )
+        pyr0 = precompute_pyramid(sm_grid.probs, 1)[0]
+        self.submaps.append(
+            Submap(
+                anchor_idx=mid,
+                score_grid=pyr0,
+                origin=sm_grid.origin,
+                high_res=hi_grid.probs,
+                high_origin=hi_grid.origin,
+                resolution=self.spec.resolution,
+            )
+        )
+        self.last_pose_idx = max(0, mid - cfg.submap_overlap_poses)
+
+    # --------------------------------------------------------------------
+    def _ensure_pg_init(self):
+        if not self.pg_poses and self.frontend.keyframes:
+            k0 = self.frontend.keyframes[0]
+            self.pg_poses.append(k0.estimate.copy())
+            self.pg_meas.append(np.zeros(3))
+            self.pg_info.append(np.eye(3))
+            self.last_opt_pose_index = 1
+
+    def _map_transforms(self):
+        """trans_pre and per-pose map-frame lookup
+        (submap_loop_closer.cpp:144-148)."""
+        lm_est = self.frontend.estimates()
+        lo = self.last_opt_pose_index
+        trans_pre = se2.compose(
+            self.pg_poses[lo - 1], se2.inverse(lm_est[lo - 1])
+        )
+
+        def map_pose(idx):
+            if idx < lo:
+                return self.pg_poses[idx]
+            return se2.compose(trans_pre, lm_est[idx])
+
+        return map_pose
+
+    # --------------------------------------------------------------------
+    def match(self) -> bool:
+        """Find + apply one loop closure (submap_loop_closer.cpp:118-297).
+        Returns True if a closure was accepted."""
+        cfg = self.config
+        kfs = self.frontend.keyframes
+        n = len(kfs)
+        if n <= 2 or len(self.submaps) <= cfg.last_submap_not_match:
+            return False
+        self._ensure_pg_init()
+        est = self.frontend.estimates()
+
+        traj_len = 0.0
+        mid = -1
+        i = n - 2
+        while i >= 0:
+            traj_len += float(np.linalg.norm(est[i + 1, :2] - est[i, :2]))
+            if traj_len >= cfg.last_traj_length / 2 and mid == -1:
+                if i - self.last_opt_pose_index < 2:
+                    return False
+                mid = i
+            if traj_len >= cfg.last_traj_length:
+                break
+            i -= 1
+        i = max(i, 0)
+        if mid < 0:
+            return False
+
+        query = construct_multicloud(
+            [k.data for k in kfs], est, i, mid, n, returns_only=True
+        )
+        if len(query) == 0:
+            return False
+        map_pose = self._map_transforms()
+        bl_trans = map_pose(mid)
+
+        max_range = float(np.linalg.norm(query, axis=1).max())
+        spec = matching.search_spec(
+            cfg.linear_search_window,
+            cfg.angular_search_window,
+            max_range,
+            cfg.submap_resolution,
+        )
+
+        best = None
+        eit = len(self.submaps) - cfg.last_submap_not_match
+        for sm in self.submaps[:eit]:
+            anchor = map_pose(sm.anchor_idx)
+            if (
+                np.linalg.norm(bl_trans[:2] - anchor[:2])
+                >= cfg.max_match_distance
+            ):
+                continue
+            init_theta = se2.wrap_angle(bl_trans[2] - anchor[2])
+            score, pose, cov = matching.match_submap(
+                sm.score_grid, sm.origin, sm.resolution, query,
+                float(init_theta), spec,
+            )
+            self.match_calls += 1
+            if score > self.loop_closure_min_score and (
+                best is None or score > best[0]
+            ):
+                best = (score, pose, cov, sm)
+        if best is None:
+            return False
+        score, pose, cov, sm = best
+
+        # high-res refinement (ceres replacement)
+        import jax.numpy as jnp
+
+        Nb = _bucket(len(query), 256)
+        ptsb = np.zeros((Nb, 2), np.float32)
+        ptsb[: len(query)] = query
+        valid = np.arange(Nb) < len(query)
+        refined = np.asarray(
+            matching.refine_pose(
+                sm.high_res, sm.high_origin, 0.05, jnp.asarray(ptsb),
+                jnp.asarray(valid), jnp.asarray(pose, dtype=jnp.float32),
+            )
+        ).astype(np.float64)
+
+        # extend the pose-graph chain (submap_loop_closer.cpp:204-225)
+        lo = self.last_opt_pose_index
+        for idx in range(lo, n):
+            meas = se2.relative(est[idx - 1], est[idx])
+            self.pg_meas.append(meas)
+            self.pg_info.append(kfs[idx].odom_info.copy())
+            self.pg_poses.append(se2.compose(self.pg_poses[-1], meas))
+        self.last_opt_pose_index = n
+
+        # prune the landmark graph to one fixed pose
+        # (submap_loop_closer.cpp:256-270): opt.clear() + single vertex
+        self.frontend.window_start = max(1, self.last_opt_pose_index - 1)
+        self.frontend.obs_edges.clear()
+        self.frontend.last_landmark_edge = 0
+        self.frontend.need_reinit = True
+
+        # add the DCS closure edge (submap_loop_closer.cpp:272-285)
+        self.closures.append(
+            Closure(
+                i=sm.anchor_idx,
+                j=mid,
+                meas=refined,
+                info=np.linalg.inv(cov),
+            )
+        )
+        self.optimize(iterations=20)
+        return True
+
+    # --------------------------------------------------------------------
+    def _build_pg_data(self):
+        import jax.numpy as jnp
+
+        n = len(self.pg_poses)
+        N = _bucket(n)
+        C = _bucket(max(len(self.closures), 1))
+        poses = np.zeros((N, 3))
+        valid = np.zeros(N, bool)
+        fixed = np.zeros(N, bool)
+        chain_meas = np.zeros((N, 3))
+        chain_info = np.tile(np.eye(3), (N, 1, 1))
+        chain_valid = np.zeros(N, bool)
+        poses[:n] = np.stack(self.pg_poses)
+        valid[:n] = True
+        fixed[0] = True
+        chain_meas[1:n] = np.stack(self.pg_meas[1:])
+        chain_info[1:n] = np.stack(self.pg_info[1:])
+        chain_valid[1:n] = True
+
+        clo_i = np.zeros(C, np.int32)
+        clo_j = np.zeros(C, np.int32)
+        clo_meas = np.zeros((C, 3))
+        clo_info = np.tile(np.eye(3), (C, 1, 1))
+        clo_valid = np.zeros(C, bool)
+        for k, c in enumerate(self.closures):
+            clo_i[k] = c.i
+            clo_j[k] = c.j
+            clo_meas[k] = c.meas
+            clo_info[k] = c.info
+            clo_valid[k] = c.active
+        return solvers.PoseGraphData(
+            jnp.asarray(poses), jnp.asarray(valid), jnp.asarray(fixed),
+            jnp.asarray(chain_meas), jnp.asarray(chain_info),
+            jnp.asarray(chain_valid), jnp.asarray(clo_i),
+            jnp.asarray(clo_j), jnp.asarray(clo_meas),
+            jnp.asarray(clo_info), jnp.asarray(clo_valid),
+        )
+
+    def optimize(self, iterations: int = 20):
+        if len(self.pg_poses) < 2:
+            return
+        g = self._build_pg_data()
+        g_opt = _get_pg_solver(self.config.dcs_phi)(g)
+        new_poses = np.asarray(g_opt.poses)
+        for k in range(len(self.pg_poses)):
+            self.pg_poses[k] = new_poses[k]
+
+    # --------------------------------------------------------------------
+    def prune_false_closures(self):
+        """chi2 > 11.345 closure pruning (log_runner.cpp:182-190)."""
+        if not self.closures or len(self.pg_poses) < 2:
+            return
+        g = self._build_pg_data()
+        chi2 = np.asarray(solvers.closure_chi2(g))
+        for k, c in enumerate(self.closures):
+            if c.active and chi2[k] > 11.345:
+                c.active = False
+                self.false_closures += 1

@@ -1,0 +1,349 @@
+"""Correlative scan-to-map matching + covariance + local refinement.
+
+TPU-native replacement for the reference's FastCorrelativeScanMatcher2D
+branch-and-bound search (src/cartographer_bindings/
+fast_correlative_scan_matcher_2d.cc:41-688) and CeresScanMatcher2D
+refinement (ceres_scan_matcher_2d.h:38-58, options at
+submap_loop_closer.cpp:30-39).
+
+Design: instead of a DFS over a max-pool pyramid, we compute the EXACT
+exhaustive score of every (rotation, x-offset, y-offset) candidate in
+one shot: per rotation, the discretized scan becomes a cell-count
+histogram; score(offset) = <histogram, grid shifted by offset> / N is a
+cross-correlation, evaluated for all offsets simultaneously with FFTs.
+Branch-and-bound returns the argmax of this same function (its pyramid
+levels are upper bounds, pruning is exact), so this is equivalent at
+equal discretization -- with no search-failure modes -- and it is
+embarrassingly parallel, which is what the MXU/VPU want. The
+reference's deliberate 2x2 score dilation (its level-0 precomputation
+grid has window 2, fast_correlative_scan_matcher_2d.cc:454-468) is
+applied to the grid before correlation.
+
+The score-moment covariance (reference's modification, :536-560) is a
+windowed second-moment reduction over the same score volume.
+
+Refinement replicates the Ceres objective: occupied-space residuals on
+a bicubic-interpolated high-res grid + translation/rotation deltas,
+10 Gauss-Newton iterations (weights 20/10/1).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .grid import PMIN
+
+# ---------------------------------------------------------------------------
+# search geometry (SearchParameters, correlative_scan_matcher_2d.cc:27-54)
+# ---------------------------------------------------------------------------
+
+
+class SearchSpec(NamedTuple):
+    n_angular: int  # rotations each side of initial angle
+    angular_step: float
+    n_linear: int  # linear window in cells (each side)
+    resolution: float
+
+
+def search_spec(
+    linear_window: float,
+    angular_window: float,
+    max_scan_range: float,
+    resolution: float,
+    angular_bucket: int = 16,
+) -> SearchSpec:
+    """Angular step from scan extent (correlative_scan_matcher_2d.cc:34-47),
+    rotations padded up to a bucket multiple to bound recompiles."""
+    max_scan_range = max(max_scan_range, 3.0 * resolution)
+    step = (1.0 - 1e-3) * math.acos(
+        1.0 - resolution**2 / (2.0 * max_scan_range**2)
+    )
+    n_ang = int(math.ceil(angular_window / step))
+    n_ang = int(math.ceil(n_ang / angular_bucket) * angular_bucket)
+    n_lin = int(math.ceil(linear_window / resolution))
+    return SearchSpec(n_ang, step, n_lin, resolution)
+
+
+class MatchResult(NamedTuple):
+    score: jnp.ndarray  # ()
+    pose: jnp.ndarray  # (3,) [x, y, theta] in submap frame
+    cov: jnp.ndarray  # (3, 3)
+
+
+# ---------------------------------------------------------------------------
+# exhaustive correlation match
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_angular", "n_linear", "size", "fft_size")
+)
+def correlate_all(
+    score_grid,  # (size, size) dilated score grid (PMIN where unknown)
+    grid_origin,  # (2,)
+    points,  # (N, 2) query points in submap frame
+    point_valid,  # (N,) bool
+    init_theta,  # () initial rotation estimate
+    angular_step,  # ()
+    resolution: float,
+    n_angular: int,
+    n_linear: int,
+    size: int,
+    fft_size: int,
+):
+    """Score every (rotation, ox, oy) candidate.
+
+    Returns scores (R, 2*n_linear+1, 2*n_linear+1) with
+    R = 2*n_angular+1; score = mean over valid points of the grid value
+    at the point's cell shifted by (ox, oy) cells.
+    """
+    R = 2 * n_angular + 1
+    W = 2 * n_linear + 1
+    ks = jnp.arange(R) - n_angular
+    thetas = init_theta + ks * angular_step  # (R,)
+    c, s = jnp.cos(thetas), jnp.sin(thetas)
+    # rotate points: (R, N, 2)
+    px = c[:, None] * points[None, :, 0] - s[:, None] * points[None, :, 1]
+    py = s[:, None] * points[None, :, 0] + c[:, None] * points[None, :, 1]
+    cx = jnp.floor((px - grid_origin[0]) / resolution).astype(jnp.int32)
+    cy = jnp.floor((py - grid_origin[1]) / resolution).astype(jnp.int32)
+    inb = (
+        point_valid[None, :]
+        & (cx >= 0) & (cx < size) & (cy >= 0) & (cy < size)
+    )
+    # per-rotation histogram images, zero-padded to fft_size
+    hist = jnp.zeros((R, fft_size, fft_size), jnp.float32)
+    # invalid points get an out-of-bounds flat index -> dropped
+    flat = jnp.where(inb, cx * fft_size + cy, fft_size * fft_size)
+    ar = jnp.broadcast_to(jnp.arange(R)[:, None], flat.shape)
+    hist = hist.reshape(R, -1).at[ar, flat].add(
+        inb.astype(jnp.float32), mode="drop"
+    ).reshape(R, fft_size, fft_size)
+
+    grid_pad = jnp.zeros((fft_size, fft_size), jnp.float32)
+    grid_pad = grid_pad.at[:size, :size].set(score_grid)
+
+    # correlation via FFT: corr[o] = sum_c hist[c] * grid[c + o]
+    Fh = jnp.fft.rfft2(hist)  # (R, F, F/2+1)
+    Fg = jnp.fft.rfft2(grid_pad)  # (F, F/2+1)
+    corr = jnp.fft.irfft2(
+        jnp.conj(Fh) * Fg[None], s=(fft_size, fft_size)
+    )  # corr[o] at index o (negative offsets wrap)
+    # extract window [-n_linear, n_linear] via roll
+    corr = jnp.roll(corr, (n_linear, n_linear), axis=(1, 2))[
+        :, : 2 * n_linear + 1, : 2 * n_linear + 1
+    ]
+    n_valid = jnp.maximum(jnp.sum(point_valid), 1)
+    # out-of-grid points contribute 0 to the correlation; the reference
+    # would clamp them into the search bounds -- approximate by giving
+    # them PMIN (their count per (r, offset) is unknown; use global
+    # n_oob per rotation as a uniform correction)
+    n_in = jnp.sum(inb, axis=1)  # (R,)
+    corr = corr + (n_valid - n_in)[:, None, None] * PMIN
+    scores = corr / n_valid
+    del W
+    return scores, thetas
+
+
+@functools.partial(jax.jit, static_argnames=("n_linear",))
+def best_candidate_with_cov(
+    scores,  # (R, W, W)
+    thetas,  # (R,)
+    init_theta,
+    angular_step,
+    resolution: float,
+    n_linear: int,
+):
+    """Argmax + score-moment covariance over a +-5 cell / +-5 rotation
+    window (fast_correlative_scan_matcher_2d.cc:522-560)."""
+    R = scores.shape[0]
+    W = scores.shape[1]
+    flat_idx = jnp.argmax(scores)
+    k = flat_idx // (W * W)
+    rem = flat_idx % (W * W)
+    ox = rem // W - n_linear
+    oy = rem % W - n_linear
+    best_score = scores.reshape(-1)[flat_idx]
+
+    pose = jnp.stack(
+        [
+            ox.astype(scores.dtype) * resolution,
+            oy.astype(scores.dtype) * resolution,
+            thetas[k],
+        ]
+    )
+
+    # windowed second moment (w_size=5; rotation window clamped to
+    # available range like the reference's scan_window)
+    w = 5
+    di = jnp.arange(-w, w + 1)
+    # gather score sub-volume around the best candidate, clamping
+    # indices (reference restricts the rotation window instead; the
+    # clamp duplicates border entries -- equivalent weighting near edges)
+    ki = jnp.clip(k + di, 0, R - 1)
+    xi = jnp.clip(ox + n_linear + di, 0, W - 1)
+    yi = jnp.clip(oy + n_linear + di, 0, W - 1)
+    sub = scores[ki[:, None, None], xi[None, :, None], yi[None, None, :]]
+    # candidate poses of the window
+    px = (xi - n_linear).astype(scores.dtype) * resolution
+    py = (yi - n_linear).astype(scores.dtype) * resolution
+    pt = thetas[ki] - init_theta  # relative rotation like ToPose
+    X = jnp.stack(
+        jnp.broadcast_arrays(
+            px[None, :, None], py[None, None, :], pt[:, None, None]
+        ),
+        axis=-1,
+    )  # (11,11,11,3)
+    sflat = sub.reshape(-1)
+    Xflat = X.reshape(-1, 3)
+    ssum = jnp.sum(sflat)
+    u = jnp.sum(Xflat * sflat[:, None], axis=0)
+    K = jnp.einsum("ni,nj,n->ij", Xflat, Xflat, sflat)
+    inv_s = 1.0 / ssum
+    cov = inv_s * K - inv_s * inv_s * jnp.outer(u, u)
+    return best_score, pose, cov
+
+
+# ---------------------------------------------------------------------------
+# local refinement (Ceres scan matcher replacement)
+# ---------------------------------------------------------------------------
+
+
+def _bicubic_kernel(t):
+    """Catmull-Rom cubic weights for fractional offset t (4 taps)."""
+    t2 = t * t
+    t3 = t2 * t
+    w0 = -0.5 * t3 + t2 - 0.5 * t
+    w1 = 1.5 * t3 - 2.5 * t2 + 1.0
+    w2 = -1.5 * t3 + 2.0 * t2 + 0.5 * t
+    w3 = 0.5 * t3 - 0.5 * t2
+    return jnp.stack([w0, w1, w2, w3], axis=-1)
+
+
+def interp_grid(grid, origin, resolution, pts):
+    """Bicubic interpolation of grid at world pts (N,2); out-of-grid
+    clamps to border (Ceres BiCubicInterpolator semantics)."""
+    size = grid.shape[0]
+    u = (pts[:, 0] - origin[0]) / resolution - 0.5
+    v = (pts[:, 1] - origin[1]) / resolution - 0.5
+    iu = jnp.floor(u)
+    iv = jnp.floor(v)
+    fu = u - iu
+    fv = v - iv
+    wu = _bicubic_kernel(fu)  # (N,4)
+    wv = _bicubic_kernel(fv)
+    iu = iu.astype(jnp.int32)
+    iv = iv.astype(jnp.int32)
+    taps_u = jnp.clip(iu[:, None] + jnp.arange(-1, 3)[None, :], 0, size - 1)
+    taps_v = jnp.clip(iv[:, None] + jnp.arange(-1, 3)[None, :], 0, size - 1)
+    vals = grid[taps_u[:, :, None], taps_v[:, None, :]]  # (N,4,4)
+    return jnp.einsum("na,nab,nb->n", wu, vals, wv)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def refine_pose(
+    grid,  # (size, size) high-res probability grid (0 = unknown)
+    origin,
+    resolution,
+    points,  # (N, 2) query returns in submap frame
+    point_valid,  # (N,)
+    init_pose,  # (3,) from the correlative match
+    occupied_space_weight: float = 20.0,
+    translation_weight: float = 10.0,
+    rotation_weight: float = 1.0,
+    iterations: int = 10,
+):
+    """Gauss-Newton refinement of the match pose against the high-res
+    grid -- the CeresScanMatcher2D replacement (options hard-coded like
+    submap_loop_closer.cpp:30-39; target translation/rotation = the
+    correlative estimate, matching the reference's Match call at
+    submap_loop_closer.cpp:181-184)."""
+    sgrid = jnp.where(grid > 0.0, grid, PMIN)
+    n = jnp.maximum(jnp.sum(point_valid), 1)
+    w_occ = occupied_space_weight / jnp.sqrt(n.astype(grid.dtype))
+    wv = point_valid.astype(grid.dtype)
+
+    def residuals(pose):
+        c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+        tp = jnp.stack(
+            [
+                c * points[:, 0] - s * points[:, 1] + pose[0],
+                s * points[:, 0] + c * points[:, 1] + pose[1],
+            ],
+            axis=1,
+        )
+        occ = (1.0 - interp_grid(sgrid, origin, resolution, tp)) * w_occ * wv
+        r_t = translation_weight * (pose[:2] - init_pose[:2])
+        r_r = rotation_weight * (pose[2] - init_pose[2]).reshape(1)
+        return jnp.concatenate([occ, r_t, r_r])
+
+    def gn_step(pose, _):
+        r = residuals(pose)
+        J = jax.jacfwd(residuals)(pose)
+        H = J.T @ J + 1e-9 * jnp.eye(3, dtype=pose.dtype)
+        g = J.T @ r
+        dp = jnp.linalg.solve(H, -g)
+        new_pose = pose + dp
+        # accept only if cost decreases (poor-man's trust region, close
+        # to Ceres' nonmonotonic LM over 10 iterations)
+        better = jnp.sum(residuals(new_pose) ** 2) <= jnp.sum(r**2)
+        return jnp.where(better, new_pose, pose), None
+
+    pose, _ = jax.lax.scan(gn_step, init_pose, None, length=iterations)
+    return pose
+
+
+# ---------------------------------------------------------------------------
+# host-facing match wrapper
+# ---------------------------------------------------------------------------
+
+
+def match_submap(
+    score_grid,  # dilated (2x2 max) score grid, jnp (size,size)
+    grid_origin,
+    resolution,
+    points,  # (N,2) numpy query points (returns only)
+    init_theta: float,
+    spec: SearchSpec,
+    fft_margin_bucket: int = 128,
+):
+    """One candidate-submap match = reference matchOne
+    (submap_loop_closer.cpp:108-115). Returns (score, pose, cov) as
+    numpy; gating against min_score happens in the caller."""
+    size = score_grid.shape[0]
+    N = len(points)
+    n_bucket = 256
+    while n_bucket < N:
+        n_bucket *= 2
+    pts = np.zeros((n_bucket, 2), np.float32)
+    pts[:N] = points
+    valid = np.zeros(n_bucket, bool)
+    valid[:N] = True
+    fft_size = size + fft_margin_bucket
+    scores, thetas = correlate_all(
+        score_grid,
+        grid_origin,
+        jnp.asarray(pts),
+        jnp.asarray(valid),
+        jnp.float32(init_theta),
+        jnp.float32(spec.angular_step),
+        float(spec.resolution),
+        int(spec.n_angular),
+        int(spec.n_linear),
+        int(size),
+        int(fft_size),
+    )
+    score, pose, cov = best_candidate_with_cov(
+        scores,
+        thetas,
+        jnp.float32(init_theta),
+        jnp.float32(spec.angular_step),
+        float(spec.resolution),
+        int(spec.n_linear),
+    )
+    return float(score), np.asarray(pose), np.asarray(cov)

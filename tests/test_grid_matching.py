@@ -1,0 +1,238 @@
+import numpy as np
+import jax.numpy as jnp
+
+from sparse_gslam_tpu.models.range_data import RangeData2D
+from sparse_gslam_tpu.ops import grid as gridmod
+from sparse_gslam_tpu.ops import matching
+from sparse_gslam_tpu.ops.grid import GridSpec, build_submap_grid, precompute_pyramid
+from sparse_gslam_tpu.utils import se2
+
+
+def scan_table(n=45, fov=np.pi):
+    a = np.linspace(-fov / 2, fov / 2, n)
+    return np.stack([np.cos(a), np.sin(a)], 1), a
+
+
+def wall_ranges(pose, angles, wall_x=4.0, range_max=8.0):
+    th = pose[2] + angles
+    with np.errstate(divide="ignore"):
+        r = (wall_x - pose[0]) / np.cos(th)
+    r = np.where((r > 0) & (np.abs(np.cos(th)) > 1e-6), r, np.inf)
+    return np.minimum(r, range_max)
+
+
+def make_wall_data(n_scans=10, range_max=8.0):
+    """Scans of the wall x=4 from poses walking along y."""
+    table, angles = scan_table()
+    rd = RangeData2D()
+    for i in range(n_scans):
+        pose = np.array([0.0, 0.2 * i, 0.0])
+        r = wall_ranges(pose, angles, range_max=range_max)
+        rd.insert_scan(r, table, range_max, pose=pose)
+    return rd
+
+
+class TestGrid:
+    def test_insert_marks_hits_and_misses(self):
+        rd = make_wall_data()
+        spec = GridSpec(size=128, resolution=0.1)
+        sm = build_submap_grid(rd, spec)
+        probs = np.asarray(sm.probs)
+        origin = np.asarray(sm.origin)
+        # cell at the wall should be occupied
+        wall_cell = ((np.array([4.0, 1.0]) - origin) / 0.1).astype(int)
+        assert probs[wall_cell[0], wall_cell[1]] > 0.5
+        # cell midway along the ray should be free
+        mid_cell = ((np.array([2.0, 1.0]) - origin) / 0.1).astype(int)
+        assert 0 < probs[mid_cell[0], mid_cell[1]] < 0.5
+        # far behind the sensors: unknown
+        back_cell = ((np.array([-1.5, 1.0]) - origin) / 0.1).astype(int)
+        if 0 <= back_cell[0] < 128:
+            assert probs[back_cell[0], back_cell[1]] == 0.0
+
+    def test_hits_beat_misses_within_scan(self):
+        # a scan where one beam's ray passes the hit cell of another
+        table = np.array([[1.0, 0.0], [np.cos(0.05), np.sin(0.05)]])
+        rd = RangeData2D()
+        rd.insert_scan(np.array([2.0, 6.0]), table, 8.0,
+                       pose=np.zeros(3))
+        spec = GridSpec(size=128, resolution=0.1)
+        sm = build_submap_grid(rd, spec)
+        probs = np.asarray(sm.probs)
+        origin = np.asarray(sm.origin)
+        hit_cell = ((np.array([2.0, 0.0]) - origin) / 0.1).astype(int)
+        assert probs[hit_cell[0], hit_cell[1]] > 0.5
+
+    def test_repeated_hits_increase_probability(self):
+        table, angles = scan_table(5, fov=0.5)
+        spec = GridSpec(size=128, resolution=0.1)
+        vals = []
+        for n in (1, 4):
+            rd = RangeData2D()
+            for _ in range(n):
+                rd.insert_scan(
+                    np.full(5, 3.0), table, 8.0, pose=np.zeros(3)
+                )
+            sm = build_submap_grid(rd, spec)
+            probs = np.asarray(sm.probs)
+            origin = np.asarray(sm.origin)
+            c = ((np.array([3.0, 0.0]) - origin) / 0.1).astype(int)
+            vals.append(probs[c[0], c[1]])
+        assert vals[1] > vals[0] > 0.5
+        assert vals[1] <= gridmod.PMAX + 1e-6
+
+    def test_pyramid_upper_bounds(self):
+        rd = make_wall_data()
+        spec = GridSpec(size=128, resolution=0.1)
+        sm = build_submap_grid(rd, spec)
+        pyr = np.asarray(precompute_pyramid(sm.probs, 5))
+        assert pyr.shape == (5, 128, 128)
+        score0 = np.where(np.asarray(sm.probs) > 0, np.asarray(sm.probs),
+                          gridmod.PMIN)
+        # level 0 = 2x2 forward max
+        assert pyr[0, 10, 10] == score0[10:12, 10:12].max()
+        # higher levels dominate lower ones
+        for d in range(1, 5):
+            assert np.all(pyr[d] >= pyr[d - 1] - 1e-6)
+
+
+def brute_force_scores(score_grid, origin, res, points, thetas, n_lin):
+    """Direct evaluation of the candidate score volume."""
+    size = score_grid.shape[0]
+    R = len(thetas)
+    W = 2 * n_lin + 1
+    out = np.zeros((R, W, W))
+    for k, th in enumerate(thetas):
+        c, s = np.cos(th), np.sin(th)
+        rp = points @ np.array([[c, s], [-s, c]])
+        cells = np.floor((rp - origin) / res).astype(int)
+        for i, ox in enumerate(range(-n_lin, n_lin + 1)):
+            for j, oy in enumerate(range(-n_lin, n_lin + 1)):
+                cx = cells[:, 0] + ox
+                cy = cells[:, 1] + oy
+                inb = (cx >= 0) & (cx < size) & (cy >= 0) & (cy < size)
+                v = np.where(
+                    inb,
+                    score_grid[np.clip(cx, 0, size - 1),
+                               np.clip(cy, 0, size - 1)],
+                    gridmod.PMIN,
+                )
+                out[k, i, j] = v.mean()
+    return out
+
+
+class TestMatching:
+    def _setup(self):
+        rd = make_wall_data(n_scans=12)
+        # add a second wall so the match is well-constrained in 2D
+        table, angles = scan_table()
+        for i in range(6):
+            pose = np.array([0.3 * i, 3.0, -np.pi / 2])
+            th = pose[2] + angles
+            with np.errstate(divide="ignore"):
+                r = (pose[1] - (-1.0)) / -np.sin(th)  # wall y=-1
+            r = np.where((r > 0) & (np.abs(np.sin(th)) > 1e-6), r, np.inf)
+            rd.insert_scan(np.minimum(r, 8.0), table, 8.0, pose=pose)
+        spec = GridSpec(size=128, resolution=0.1)
+        sm = build_submap_grid(rd, spec)
+        pyr = precompute_pyramid(sm.probs, 5)
+        return sm, pyr
+
+    def test_fft_matches_brute_force(self):
+        sm, pyr = self._setup()
+        rng = np.random.default_rng(0)
+        pts = np.column_stack(
+            [np.full(40, 4.0), np.linspace(-0.5, 2.5, 40)]
+        )
+        pts = np.concatenate(
+            [pts, np.column_stack([np.linspace(0, 2, 30), np.full(30, -1.0)])]
+        )
+        spec = matching.SearchSpec(
+            n_angular=8, angular_step=0.02, n_linear=10, resolution=0.1
+        )
+        N = 128
+        ptsb = np.zeros((N, 2), np.float32)
+        ptsb[: len(pts)] = pts
+        valid = np.arange(N) < len(pts)
+        scores, thetas = matching.correlate_all(
+            pyr[0], sm.origin, jnp.asarray(ptsb), jnp.asarray(valid),
+            jnp.float32(0.0), jnp.float32(spec.angular_step),
+            0.1, 8, 10, 128, 192,
+        )
+        ref = brute_force_scores(
+            np.asarray(pyr[0]), np.asarray(sm.origin), 0.1, pts,
+            np.asarray(thetas), 10,
+        )
+        np.testing.assert_allclose(np.asarray(scores), ref, atol=2e-4)
+
+    def test_recovers_known_offset(self):
+        sm, pyr = self._setup()
+        # query: wall points offset by a known SE2 perturbation
+        gt = np.array([0.6, -0.4, 0.15])
+        base = np.concatenate(
+            [
+                np.column_stack([np.full(50, 4.0), np.linspace(-0.5, 2.5, 50)]),
+                np.column_stack([np.linspace(0.0, 2.0, 40), np.full(40, -1.0)]),
+            ]
+        )
+        # points as seen from a frame displaced by gt: p_query = T^-1 p
+        query = se2.apply(se2.inverse(gt), base)
+        spec = matching.search_spec(2.0, 0.6, 8.0, 0.1)
+        score, pose, cov = matching.match_submap(
+            pyr[0], sm.origin, 0.1, query, 0.0, spec
+        )
+        # the coarse correlative match lands on the discretization
+        # plateau around gt (exactly like the reference's B&B would);
+        # the high-res refinement then tightens it
+        assert score > 0.7
+        np.testing.assert_allclose(pose[:2], gt[:2], atol=0.15)
+        np.testing.assert_allclose(pose[2], gt[2], atol=0.07)
+        assert np.all(np.linalg.eigvalsh(cov) > -1e-9)
+
+        N = 128
+        ptsb = np.zeros((N, 2), np.float32)
+        ptsb[: len(query)] = query
+        valid = np.arange(N) < len(query)
+        refined = np.asarray(
+            matching.refine_pose(
+                sm.probs, sm.origin, 0.1, jnp.asarray(ptsb),
+                jnp.asarray(valid), jnp.asarray(pose, dtype=jnp.float32),
+            )
+        )
+        assert np.linalg.norm(refined[:2] - gt[:2]) < 0.12
+        assert abs(refined[2] - gt[2]) < 0.05
+
+    def test_refine_improves_pose(self):
+        sm, _ = self._setup()
+        gt = np.array([0.3, -0.2, 0.08])
+        base = np.concatenate(
+            [
+                np.column_stack([np.full(50, 4.0), np.linspace(-0.5, 2.5, 50)]),
+                np.column_stack([np.linspace(0.0, 2.0, 40), np.full(40, -1.0)]),
+            ]
+        )
+        query = se2.apply(se2.inverse(gt), base)
+        coarse = gt + np.array([0.08, -0.06, 0.02])  # off by < 1 cell
+        N = 128
+        ptsb = np.zeros((N, 2), np.float32)
+        ptsb[: len(query)] = query
+        valid = np.arange(N) < len(query)
+        refined = matching.refine_pose(
+            sm.probs, sm.origin, 0.1, jnp.asarray(ptsb),
+            jnp.asarray(valid), jnp.asarray(coarse, dtype=jnp.float32),
+        )
+        refined = np.asarray(refined)
+        assert np.linalg.norm(refined[:2] - gt[:2]) <= np.linalg.norm(
+            coarse[:2] - gt[:2]
+        ) + 1e-6
+
+    def test_search_spec_buckets(self):
+        s = matching.search_spec(5.0, 1.0, 7.0, 0.1)
+        assert s.n_angular % 16 == 0
+        assert s.n_linear == 50
+        # reference formula (correlative_scan_matcher_2d.cc:39-43)
+        import math
+
+        step = (1 - 1e-3) * math.acos(1 - 0.1**2 / (2 * 49.0))
+        assert abs(s.angular_step - step) < 1e-12
+        assert s.n_angular >= math.ceil(1.0 / step)
