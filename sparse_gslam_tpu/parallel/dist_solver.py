@@ -1,0 +1,448 @@
+"""Keyframe-partitioned Gauss-Newton pose-graph solver via distributed
+Schur complement.
+
+The scalable counterpart of ops.solvers.optimize_pose_graph (which
+assembles one dense (3N,3N) system): poses split into P contiguous
+blocks; each block's interior chain system factorizes as a local dense
+Cholesky ((3M,3M), MXU-friendly), the separator system (block
+boundaries + closure endpoints; a few hundred DOF) is psum-reduced and
+solved replicated, then interiors back-substitute locally. One GN
+iteration is EXACT -- identical to the dense solve up to roundoff;
+this is block-sparse Cholesky by partitioning, not an approximation.
+
+Separator slot convention (parallel.partition.make_partition): slot b
+(b < n_blocks-1) is the boundary pose of block b (its last pose), so
+inside the kernel the pose preceding block p's first pose is separator
+slot p-1 statically. Closure endpoints occupy later slots.
+
+Drivers over the same per-block kernel:
+  - optimize_pose_graph_blocked: single chip, blocks batched with vmap
+  - optimize_pose_graph_sharded: multi chip, shard_map over a 1-D
+    jax.sharding.Mesh ("blocks"), halo via ppermute, psum reductions
+
+No reference code exists for this (the reference is single-process,
+SURVEY.md §2.7); the design follows SURVEY.md §7 / BASELINE.json.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.solvers import (
+    PoseGraphData,
+    dcs_weight,
+    se2_edge_jacobians,
+    se2_edge_residual,
+)
+from ..utils.se2 import wrap_angle
+from .partition import PartitionPlan
+
+
+class BlockedGraph(NamedTuple):
+    poses: jnp.ndarray  # (P, M, 3)
+    valid: jnp.ndarray  # (P, M)
+    fixed: jnp.ndarray  # (P, M)
+    chain_meas: jnp.ndarray  # (P, M, 3)
+    chain_info: jnp.ndarray  # (P, M, 3, 3)
+    chain_valid: jnp.ndarray  # (P, M)
+    sep_local: jnp.ndarray  # (P, M) int32 slot or -1
+
+
+class SepGraph(NamedTuple):
+    """Replicated separator + closure arrays."""
+
+    sep_pose_block: jnp.ndarray  # (S,) owning block of each separator
+    sep_pose_off: jnp.ndarray  # (S,) local offset within block
+    sep_valid: jnp.ndarray  # (S,)
+    clo_sep_i: jnp.ndarray  # (C,)
+    clo_sep_j: jnp.ndarray  # (C,)
+    clo_meas: jnp.ndarray  # (C, 3)
+    clo_info: jnp.ndarray  # (C, 3, 3)
+    clo_valid: jnp.ndarray  # (C,)
+
+
+def split_graph(g: PoseGraphData, plan: PartitionPlan):
+    P, M = plan.n_blocks, plan.block_size
+
+    def r(a):
+        return jnp.reshape(a, (P, M) + a.shape[1:])
+
+    bg = BlockedGraph(
+        poses=r(g.poses), valid=r(g.valid), fixed=r(g.fixed),
+        chain_meas=r(g.chain_meas), chain_info=r(g.chain_info),
+        chain_valid=r(g.chain_valid),
+        sep_local=r(jnp.asarray(plan.sep_id_of_pose)),
+    )
+    # a separator slot whose underlying pose is padding or fixed must
+    # get an identity row (update 0), not a (singular) zero row --
+    # sep_valid below therefore means "free separator variable"
+    sp = jnp.asarray(plan.sep_pose)
+    sep_valid = jnp.asarray(plan.sep_valid) & g.valid[sp] & (~g.fixed[sp])
+    sg = SepGraph(
+        sep_pose_block=jnp.asarray(plan.sep_pose // M, jnp.int32),
+        sep_pose_off=jnp.asarray(plan.sep_pose % M, jnp.int32),
+        sep_valid=sep_valid,
+        clo_sep_i=jnp.asarray(plan.clo_sep_i),
+        clo_sep_j=jnp.asarray(plan.clo_sep_j),
+        clo_meas=g.clo_meas,
+        clo_info=g.clo_info,
+        clo_valid=g.clo_valid,
+    )
+    return bg, sg
+
+
+# ---------------------------------------------------------------------------
+# per-block kernel (operates on ONE block; batched by vmap or shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _block_system(
+    block_idx,  # () int32
+    poses, valid, fixed, chain_meas, chain_info, chain_valid, sep_local,
+    prev_last_pose,  # (3,) halo: last pose of the previous block
+    S: int,
+):
+    """Assemble one block's partitioned-system pieces.
+
+    Returns (A (3M,3M), b_i (3M,), His (3S,3M), Hss (3S,3S), b_s (3S,)).
+    """
+    M = poses.shape[0]
+    dt = poses.dtype
+    xi = jnp.concatenate([prev_last_pose[None], poses[:-1]], axis=0)
+    e = se2_edge_residual(xi, poses, chain_meas)
+    Ji, Jj = se2_edge_jacobians(xi, poses, chain_meas)
+
+    free = valid & (~fixed)
+    is_sep = sep_local >= 0
+    interior = free & (~is_sep)
+
+    # endpoint A of edge m: m=0 -> previous block's boundary (slot
+    # block_idx-1), m>0 -> local pose m-1
+    sepA = jnp.concatenate(
+        [(block_idx - 1)[None].astype(jnp.int32), sep_local[:-1]]
+    )
+    intA = jnp.concatenate([jnp.zeros(1, bool), interior[:-1]])
+    freeA = jnp.concatenate([(block_idx > 0)[None], free[:-1]])
+    sepB = sep_local
+    intB = interior
+    freeB = free
+
+    w = chain_valid.astype(dt)
+    Ji = Ji * (w * freeA.astype(dt))[:, None, None]
+    Jj = Jj * (w * freeB.astype(dt))[:, None, None]
+    OJi = jnp.einsum("nab,nbc->nac", chain_info, Ji)
+    OJj = jnp.einsum("nab,nbc->nac", chain_info, Jj)
+    Hii = jnp.einsum("nba,nbc->nac", Ji, OJi)
+    Hij = jnp.einsum("nba,nbc->nac", Ji, OJj)
+    Hjj = jnp.einsum("nba,nbc->nac", Jj, OJj)
+    ew = e * w[:, None]
+    bi_ = -jnp.einsum("nba,nb->na", OJi, ew)
+    bj_ = -jnp.einsum("nba,nb->na", OJj, ew)
+
+    m_idx = jnp.arange(M)
+    mA = jnp.maximum(m_idx - 1, 0)  # local index of endpoint A (m>0)
+
+    # ---- interior dense system A -------------------------------------
+    D = jnp.zeros((M, 3, 3), dt)
+    D = D.at[mA].add(jnp.where(intA[:, None, None], Hii, 0.0))
+    D = D.at[m_idx].add(jnp.where(intB[:, None, None], Hjj, 0.0))
+    # identity rows for non-interior slots keep A SPD
+    eye = jnp.eye(3, dtype=dt)
+    D = jnp.where(interior[:, None, None], D, 0.0) + jnp.where(
+        interior[:, None, None], 1e-12 * eye, eye
+    )
+    off_ok = (intA & intB)[:, None, None]
+    O = jnp.where(off_ok, Hij, 0.0)  # couples (m-1, m), m >= 1
+
+    A = jnp.zeros((M, 3, M, 3), dt)
+    A = A.at[m_idx, :, m_idx, :].add(D)
+    A = A.at[mA, :, m_idx, :].add(jnp.where(m_idx[:, None, None] > 0, O, 0.0))
+    A = A.at[m_idx, :, mA, :].add(
+        jnp.where(m_idx[:, None, None] > 0, jnp.swapaxes(O, -1, -2), 0.0)
+    )
+    A = A.reshape(3 * M, 3 * M)
+
+    b_i = jnp.zeros((M, 3), dt)
+    b_i = b_i.at[mA].add(jnp.where(intA[:, None], bi_, 0.0))
+    b_i = b_i.at[m_idx].add(jnp.where(intB[:, None], bj_, 0.0))
+
+    # ---- separator coupling + separator system -----------------------
+    His = jnp.zeros((S, M, 3, 3), dt)  # (sep, interior_col): H[s, i]
+    sA = jnp.where(intA, -1, sepA)  # valid slot only when A is separator
+    sB = jnp.where(intB, -1, sepB)
+    # A sep & B interior: His[sA, m] += Hij^T? H[s,i] block with s=A,i=B:
+    # H_{A,B} = Hij (A row, B col) -> His[sA, m] += Hij
+    put = (sA >= 0) & intB
+    His = His.at[jnp.where(put, sA, S), m_idx].add(
+        jnp.where(put[:, None, None], Hij, 0.0), mode="drop"
+    )
+    # A interior & B sep: H_{B,A} = Hij^T -> His[sB, m-1] += Hij^T
+    put2 = (sB >= 0) & intA
+    His = His.at[jnp.where(put2, sB, S), mA].add(
+        jnp.where(put2[:, None, None], jnp.swapaxes(Hij, -1, -2), 0.0),
+        mode="drop",
+    )
+
+    Hss = jnp.zeros((S, S, 3, 3), dt)
+    b_s = jnp.zeros((S, 3), dt)
+    # separator diagonals
+    putA = (sA >= 0) & freeA
+    Hss = Hss.at[jnp.where(putA, sA, S), jnp.where(putA, sA, S)].add(
+        jnp.where(putA[:, None, None], Hii, 0.0), mode="drop"
+    )
+    b_s = b_s.at[jnp.where(putA, sA, S)].add(
+        jnp.where(putA[:, None], bi_, 0.0), mode="drop"
+    )
+    putB = (sB >= 0) & freeB
+    Hss = Hss.at[jnp.where(putB, sB, S), jnp.where(putB, sB, S)].add(
+        jnp.where(putB[:, None, None], Hjj, 0.0), mode="drop"
+    )
+    b_s = b_s.at[jnp.where(putB, sB, S)].add(
+        jnp.where(putB[:, None], bj_, 0.0), mode="drop"
+    )
+    # separator-separator off-diagonal (adjacent separators)
+    putAB = (sA >= 0) & (sB >= 0)
+    Hss = Hss.at[jnp.where(putAB, sA, S), jnp.where(putAB, sB, S)].add(
+        jnp.where(putAB[:, None, None], Hij, 0.0), mode="drop"
+    )
+    Hss = Hss.at[jnp.where(putAB, sB, S), jnp.where(putAB, sA, S)].add(
+        jnp.where(putAB[:, None, None], jnp.swapaxes(Hij, -1, -2), 0.0),
+        mode="drop",
+    )
+
+    His_mat = His.transpose(0, 2, 1, 3).reshape(3 * S, 3 * M)
+    Hss_mat = Hss.transpose(0, 2, 1, 3).reshape(3 * S, 3 * S)
+    return A, b_i.reshape(3 * M), His_mat, Hss_mat, b_s.reshape(3 * S)
+
+
+def _closure_system(sep_poses, sg: SepGraph, phi, S):
+    """Closure contributions to the separator system (DCS-weighted).
+    sep_poses: (S, 3) current separator pose values."""
+    dt = sep_poses.dtype
+    xi = sep_poses[sg.clo_sep_i]
+    xj = sep_poses[sg.clo_sep_j]
+    e = se2_edge_residual(xi, xj, sg.clo_meas)
+    Ji, Jj = se2_edge_jacobians(xi, xj, sg.clo_meas)
+    # fixed/invalid separator endpoints contribute no Jacobian columns
+    Ji = Ji * sg.sep_valid[sg.clo_sep_i].astype(dt)[:, None, None]
+    Jj = Jj * sg.sep_valid[sg.clo_sep_j].astype(dt)[:, None, None]
+    chi2 = jnp.einsum("ni,nij,nj->n", e, sg.clo_info, e)
+    w = sg.clo_valid.astype(dt) * dcs_weight(chi2, phi)
+    info_w = sg.clo_info * w[:, None, None]
+    OJi = jnp.einsum("nab,nbc->nac", info_w, Ji)
+    OJj = jnp.einsum("nab,nbc->nac", info_w, Jj)
+
+    Hss = jnp.zeros((S, S, 3, 3), dt)
+    b_s = jnp.zeros((S, 3), dt)
+    si, sj = sg.clo_sep_i, sg.clo_sep_j
+    Hss = Hss.at[si, si].add(jnp.einsum("nba,nbc->nac", Ji, OJi))
+    Hss = Hss.at[sj, sj].add(jnp.einsum("nba,nbc->nac", Jj, OJj))
+    Hij = jnp.einsum("nba,nbc->nac", Ji, OJj)
+    Hss = Hss.at[si, sj].add(Hij)
+    Hss = Hss.at[sj, si].add(jnp.swapaxes(Hij, -1, -2))
+    b_s = b_s.at[si].add(-jnp.einsum("nba,nb->na", OJi, e))
+    b_s = b_s.at[sj].add(-jnp.einsum("nba,nb->na", OJj, e))
+    return (
+        Hss.transpose(0, 2, 1, 3).reshape(3 * S, 3 * S),
+        b_s.reshape(3 * S),
+    )
+
+
+def _block_gn_pieces(block_idx, blk, prev_last_pose, S):
+    """Local factorization + Schur pieces for one block.
+
+    Returns (S_contrib (3S,3S), rhs_contrib (3S,), Hss_part, bs_part,
+    Y (3M, 1+3S) solved columns) -- Y is carried to back-substitution.
+    """
+    A, b_i, His, Hss, b_s = _block_system(
+        block_idx, blk.poses, blk.valid, blk.fixed, blk.chain_meas,
+        blk.chain_info, blk.chain_valid, blk.sep_local, prev_last_pose, S,
+    )
+    chol = jax.scipy.linalg.cho_factor(A)
+    rhs = jnp.concatenate([b_i[:, None], His.T], axis=1)  # (3M, 1+3S)
+    Y = jax.scipy.linalg.cho_solve(chol, rhs)
+    S_contrib = His @ Y[:, 1:]  # (3S, 3S)
+    rhs_contrib = His @ Y[:, 0]  # (3S,)
+    return S_contrib, rhs_contrib, Hss, b_s, Y, His
+
+
+def _apply_updates(blk: BlockedGraph, Y, His, d_s, sep_local):
+    """delta_i = Y0 - (A^-1 His^T) d_s; separator poses take d_s."""
+    M = blk.poses.shape[-2]
+    d_i = (Y[:, 0] - Y[:, 1:] @ d_s).reshape(M, 3)
+    is_sep = sep_local >= 0
+    d_sep = d_s.reshape(-1, 3)[jnp.maximum(sep_local, 0)]
+    d = jnp.where(is_sep[:, None], d_sep, d_i)
+    poses = blk.poses + d
+    return poses.at[..., 2].set(wrap_angle(poses[..., 2]))
+
+
+# ---------------------------------------------------------------------------
+# single-chip driver: vmap over blocks
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def optimize_pose_graph_blocked(
+    bg: BlockedGraph, sg: SepGraph, phi, iterations: int = 20
+) -> jnp.ndarray:
+    """Block-sparse GN on one device. Returns updated (P, M, 3) poses."""
+    P, M = bg.poses.shape[0], bg.poses.shape[1]
+    S = sg.sep_valid.shape[0]
+    dt = bg.poses.dtype
+    block_ids = jnp.arange(P, dtype=jnp.int32)
+
+    def gn_iter(poses, _):
+        blk = bg._replace(poses=poses)
+        prev_last = jnp.concatenate(
+            [jnp.zeros((1, 3), dt), poses[:-1, -1, :]], axis=0
+        )
+        sep_poses = poses[sg.sep_pose_block, sg.sep_pose_off]
+
+        Sc, rc, Hss, bs, Y, His = _vmapped_pieces(
+            block_ids, blk, prev_last, S
+        )
+        Hss_c, bs_c = _closure_system(sep_poses, sg, phi, S)
+        eye = jnp.eye(3 * S, dtype=dt)
+        sep_free = jnp.repeat(sg.sep_valid, 3)
+        S_dense = (
+            Hss_c + Hss.sum(0) - Sc.sum(0)
+            + jnp.where(sep_free, 1e-12, 1.0) * eye
+        )
+        S_dense = jnp.where(
+            sep_free[:, None] & sep_free[None, :], S_dense,
+            eye,
+        )
+        rhs_s = jnp.where(sep_free, bs_c + bs.sum(0) - rc.sum(0), 0.0)
+        chol = jax.scipy.linalg.cho_factor(S_dense)
+        d_s = jax.scipy.linalg.cho_solve(chol, rhs_s)
+        new_poses = jax.vmap(
+            lambda p, y, h, sl: _apply_updates(
+                bg._replace(poses=p), y, h, d_s, sl
+            ),
+            in_axes=(0, 0, 0, 0),
+        )(poses, Y, His, bg.sep_local)
+        return new_poses, None
+
+    poses, _ = jax.lax.scan(gn_iter, bg.poses, None, length=iterations)
+    return poses
+
+
+def _vmapped_pieces(block_ids, blk: BlockedGraph, prev_last, S):
+    def one(bi, poses, valid, fixed, cm, ci, cv, sl, pl):
+        b = BlockedGraph(poses, valid, fixed, cm, ci, cv, sl)
+        return _block_gn_pieces(bi, b, pl, S)
+
+    return jax.vmap(one, in_axes=(0,) * 9)(
+        block_ids, blk.poses, blk.valid, blk.fixed, blk.chain_meas,
+        blk.chain_info, blk.chain_valid, blk.sep_local, prev_last,
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-chip driver: shard_map over a mesh axis "blocks"
+# ---------------------------------------------------------------------------
+
+
+def optimize_pose_graph_sharded(
+    bg: BlockedGraph, sg: SepGraph, phi, mesh, iterations: int = 20
+):
+    """Multi-chip GN: one block per device along mesh axis 'blocks'.
+
+    Chain halo rides ppermute; Schur reduction rides psum -- ICI
+    collectives only (SURVEY.md §5 "distributed communication backend").
+    """
+    from jax.sharding import PartitionSpec as Ps
+    from jax import shard_map
+
+    P, M = bg.poses.shape[0], bg.poses.shape[1]
+    S = sg.sep_valid.shape[0]
+    axis = "blocks"
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: Ps(axis), bg),
+            jax.tree_util.tree_map(lambda _: Ps(), sg),
+        ),
+        out_specs=Ps(axis),
+        check_vma=False,
+    )
+    def run(blk_sh: BlockedGraph, sg_rep: SepGraph):
+        dt = blk_sh.poses.dtype
+        my = jax.lax.axis_index(axis).astype(jnp.int32)
+
+        def gn_iter(poses, _):
+            blk = jax.tree_util.tree_map(lambda x: x[0], blk_sh)._replace(
+                poses=poses
+            )
+            # halo: previous block's last pose
+            prev_last = jax.lax.ppermute(
+                poses[-1], axis,
+                [(i, (i + 1) % P) for i in range(P)],
+            )
+            prev_last = jnp.where(my > 0, prev_last, jnp.zeros(3, dt))
+            # replicated separator poses: scatter own, psum
+            sep_mine = (
+                (sg_rep.sep_pose_block == my) & sg_rep.sep_valid
+            )
+            sep_poses = jnp.where(
+                sep_mine[:, None],
+                poses[sg_rep.sep_pose_off],
+                0.0,
+            )
+            sep_poses = jax.lax.psum(sep_poses, axis)
+
+            Sc, rc, Hss, bs, Y, His = _block_gn_pieces(
+                my, blk, prev_last, S
+            )
+            Hss_c, bs_c = _closure_system(sep_poses, sg_rep, phi, S)
+            Hss_tot = jax.lax.psum(Hss - Sc, axis)
+            bs_tot = jax.lax.psum(bs - rc, axis)
+            eye = jnp.eye(3 * S, dtype=dt)
+            sep_free = jnp.repeat(sg_rep.sep_valid, 3)
+            S_dense = Hss_c + Hss_tot + jnp.where(sep_free, 1e-12, 1.0) * eye
+            S_dense = jnp.where(
+                sep_free[:, None] & sep_free[None, :], S_dense, eye
+            )
+            rhs_s = jnp.where(sep_free, bs_c + bs_tot, 0.0)
+            chol = jax.scipy.linalg.cho_factor(S_dense)
+            d_s = jax.scipy.linalg.cho_solve(chol, rhs_s)
+            new_poses = _apply_updates(blk, Y, His, d_s, blk.sep_local)
+            return new_poses, None
+
+        poses, _ = jax.lax.scan(
+            gn_iter, blk_sh.poses[0], None, length=iterations
+        )
+        return poses[None]
+
+    return run(bg, sg)
+
+
+# ---------------------------------------------------------------------------
+# convenience: full path from PoseGraphData
+# ---------------------------------------------------------------------------
+
+
+def optimize_partitioned(
+    g: PoseGraphData, phi: float, n_blocks: int, iterations: int = 20,
+    mesh=None,
+):
+    """Partition + solve. mesh=None -> single-chip vmap driver."""
+    from .partition import make_partition
+
+    plan = make_partition(
+        g.poses.shape[0], n_blocks,
+        np.asarray(g.clo_i), np.asarray(g.clo_j), np.asarray(g.clo_valid),
+    )
+    bg, sg = split_graph(g, plan)
+    if mesh is None:
+        poses = optimize_pose_graph_blocked(bg, sg, phi, iterations)
+    else:
+        poses = optimize_pose_graph_sharded(bg, sg, phi, mesh, iterations)
+    return g._replace(poses=jnp.reshape(poses, g.poses.shape))

@@ -1,0 +1,79 @@
+"""Host-side partitioning of a pose graph into contiguous keyframe
+blocks + separator bookkeeping for the distributed Schur solver.
+
+There is no reference code for this: the reference is single-process
+(SURVEY.md §2.7); this implements the BASELINE.json north-star design
+(submap/keyframe-partitioned graph, distributed Schur-complement
+solves, cross-partition loop edges as separator variables).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class PartitionPlan(NamedTuple):
+    """Static partition metadata (host-computed, device-constant).
+
+    n_blocks * block_size = padded pose count. Separators = the last
+    pose of every block except the final one, plus every closure
+    endpoint. sep_pose (S,): global pose index per separator slot
+    (filler slots point at pose 0 with sep_valid False);
+    sep_id_of_pose (N,): inverse map, -1 where not a separator;
+    clo_sep_i / clo_sep_j (C,): separator slot of each closure endpoint.
+    """
+
+    n_blocks: int
+    block_size: int
+    sep_pose: np.ndarray
+    sep_valid: np.ndarray
+    sep_id_of_pose: np.ndarray
+    clo_sep_i: np.ndarray
+    clo_sep_j: np.ndarray
+
+
+def make_partition(
+    n_poses_padded: int,
+    n_blocks: int,
+    clo_i: np.ndarray,
+    clo_j: np.ndarray,
+    clo_valid: np.ndarray,
+    sep_capacity: int | None = None,
+) -> PartitionPlan:
+    assert n_poses_padded % n_blocks == 0
+    M = n_poses_padded // n_blocks
+    boundaries = [b * M + M - 1 for b in range(n_blocks - 1)]
+    sep_set: dict[int, int] = {}
+    for p in boundaries:
+        sep_set.setdefault(int(p), len(sep_set))
+    C = len(clo_i)
+    clo_sep_i = np.zeros(C, np.int32)
+    clo_sep_j = np.zeros(C, np.int32)
+    for k in range(C):
+        if not clo_valid[k]:
+            continue
+        for arr, idx in ((clo_sep_i, int(clo_i[k])), (clo_sep_j, int(clo_j[k]))):
+            if idx not in sep_set:
+                sep_set[idx] = len(sep_set)
+            arr[k] = sep_set[idx]
+
+    S = len(sep_set)
+    if sep_capacity is None:
+        cap = 8
+        while cap < max(S, 1):
+            cap *= 2
+        sep_capacity = cap
+    if S > sep_capacity:
+        raise ValueError(f"separator count {S} exceeds capacity")
+    sep_pose = np.zeros(sep_capacity, np.int32)
+    sep_valid = np.zeros(sep_capacity, bool)
+    sep_id_of_pose = np.full(n_poses_padded, -1, np.int32)
+    for pose_idx, slot in sep_set.items():
+        sep_pose[slot] = pose_idx
+        sep_valid[slot] = True
+        sep_id_of_pose[pose_idx] = slot
+    return PartitionPlan(
+        n_blocks, M, sep_pose, sep_valid, sep_id_of_pose,
+        clo_sep_i, clo_sep_j,
+    )
