@@ -1,0 +1,84 @@
+"""ctypes bindings + on-demand build for the native C++ components.
+
+The reference's runtime is C++ (SURVEY.md); here the native layer
+provides (a) the CPU baseline pose-graph GN solver used by bench.py
+for the throughput-vs-C++ ratio and as a host-side fallback, and
+(b) a fast CARMEN log parser data loader. Built lazily with g++
+(dependency-free sources in native/), cached in native/build/.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_NATIVE = os.path.join(_ROOT, "native")
+_BUILD = os.path.join(_NATIVE, "build")
+
+_libs: dict[str, ctypes.CDLL] = {}
+
+
+def _build(name: str, src: str) -> str:
+    os.makedirs(_BUILD, exist_ok=True)
+    so = os.path.join(_BUILD, f"lib{name}.so")
+    src_path = os.path.join(_NATIVE, src)
+    if (
+        not os.path.exists(so)
+        or os.path.getmtime(so) < os.path.getmtime(src_path)
+    ):
+        cmd = [
+            "g++", "-O3", "-march=native", "-std=c++17", "-shared",
+            "-fPIC", "-o", so, src_path,
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+    return so
+
+
+def load(name: str, src: str) -> ctypes.CDLL:
+    if name not in _libs:
+        _libs[name] = ctypes.CDLL(_build(name, src))
+    return _libs[name]
+
+
+def posegraph_gn_native(g, phi: float, iterations: int) -> np.ndarray:
+    """Run the native GN solver on a PoseGraphData; returns poses (N,3).
+
+    Same semantics as ops.solvers.optimize_pose_graph (dense jax path);
+    used as the bench baseline and cross-validation oracle.
+    """
+    lib = load("posegraph", "posegraph_solver.cpp")
+    fn = lib.posegraph_gn_optimize
+    fn.restype = ctypes.c_int
+
+    poses = np.ascontiguousarray(np.asarray(g.poses), np.float64).copy()
+    n = len(poses)
+    cm = np.ascontiguousarray(np.asarray(g.chain_meas), np.float64)
+    ci = np.ascontiguousarray(np.asarray(g.chain_info), np.float64)
+    cv = np.ascontiguousarray(
+        np.asarray(g.chain_valid), np.uint8
+    )
+    fx = np.ascontiguousarray(
+        np.asarray(g.fixed) | (~np.asarray(g.valid)), np.uint8
+    )
+    cloi = np.ascontiguousarray(np.asarray(g.clo_i), np.int32)
+    cloj = np.ascontiguousarray(np.asarray(g.clo_j), np.int32)
+    clom = np.ascontiguousarray(np.asarray(g.clo_meas), np.float64)
+    cloinf = np.ascontiguousarray(np.asarray(g.clo_info), np.float64)
+    clov = np.ascontiguousarray(np.asarray(g.clo_valid), np.uint8)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = fn(
+        ctypes.c_int(n), p(poses), p(cm), p(ci), p(cv), p(fx),
+        ctypes.c_int(len(cloi)), p(cloi), p(cloj), p(clom), p(cloinf),
+        p(clov), ctypes.c_double(phi), ctypes.c_int(iterations),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native solver failed rc={rc}")
+    return poses

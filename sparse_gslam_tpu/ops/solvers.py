@@ -25,6 +25,20 @@ import jax.numpy as jnp
 from ..utils.se2 import wrap_angle
 from .line_geometry import transform_line
 
+# Normal-equation assembly is numerically delicate in f32: TPU default
+# matmul precision (bf16 passes) corrupts H enough to break Cholesky.
+# All jitted solver entry points trace under the "highest" context.
+def precise(fn):
+    """Decorator: trace `fn` with float32-accurate matmuls on TPU."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+
+    return wrapped
+
 # ---------------------------------------------------------------------------
 # residuals + Jacobians
 # ---------------------------------------------------------------------------
@@ -304,6 +318,7 @@ def _lm_apply(g: LMGraphData, dp, dl) -> LMGraphData:
     return g._replace(poses=poses, lms=lms)
 
 
+@precise
 def optimize_landmark_graph(
     g: LMGraphData, iterations: int = 15, tau: float = 1e-5
 ):
@@ -484,6 +499,7 @@ def _posegraph_dense_solve(g: PoseGraphData, Hd, H_off_chain, H_off_clo, b):
     return d * free[:, None]
 
 
+@precise
 def optimize_pose_graph(
     g: PoseGraphData, phi: float, iterations: int = 20
 ) -> PoseGraphData:

@@ -49,7 +49,8 @@ class BlockedGraph(NamedTuple):
     chain_meas: jnp.ndarray  # (P, M, 3)
     chain_info: jnp.ndarray  # (P, M, 3, 3)
     chain_valid: jnp.ndarray  # (P, M)
-    sep_local: jnp.ndarray  # (P, M) int32 slot or -1
+    sep_local: jnp.ndarray  # (P, M) int32 LOCAL separator id or -1
+    loc_sep: jnp.ndarray  # (P, K) int32 global slot ids, -1 padded
 
 
 class SepGraph(NamedTuple):
@@ -75,7 +76,8 @@ def split_graph(g: PoseGraphData, plan: PartitionPlan):
         poses=r(g.poses), valid=r(g.valid), fixed=r(g.fixed),
         chain_meas=r(g.chain_meas), chain_info=r(g.chain_info),
         chain_valid=r(g.chain_valid),
-        sep_local=r(jnp.asarray(plan.sep_id_of_pose)),
+        sep_local=r(jnp.asarray(plan.sep_local_id)),
+        loc_sep=jnp.asarray(plan.loc_sep),
     )
     # a separator slot whose underlying pose is padding or fixed must
     # get an identity row (update 0), not a (singular) zero row --
@@ -100,13 +102,40 @@ def split_graph(g: PoseGraphData, plan: PartitionPlan):
 # ---------------------------------------------------------------------------
 
 
+def _eq_chol_solve(Amat, rhs):
+    """SPD solve with Jacobi equilibration (f32-stable Cholesky).
+    rhs may be a vector or matrix (columns)."""
+    d = jnp.clip(jnp.diagonal(Amat), 1e-20, None)
+    s = jax.lax.rsqrt(d)
+    A_eq = Amat * s[:, None] * s[None, :]
+    chol = jax.scipy.linalg.cho_factor(A_eq)
+    if rhs.ndim == 1:
+        return jax.scipy.linalg.cho_solve(chol, rhs * s) * s
+    return jax.scipy.linalg.cho_solve(chol, rhs * s[:, None]) * s[:, None]
+
+
+def _scatter_blocks(target, bi, bj, vals):
+    """Scatter-add (K,3,3) blocks into a 2-D matrix at block indices
+    (bi, bj); entries with bi<0 or bj<0 are dropped."""
+    ar3 = jnp.arange(3)
+    ok = (bi >= 0) & (bj >= 0)
+    big = target.shape[0]  # out-of-range sentinel
+    rows = jnp.where(ok, 3 * bi, big)[:, None] + ar3[None, :]  # (K,3)
+    cols = jnp.where(ok, 3 * bj, big)[:, None] + ar3[None, :]
+    return target.at[rows[:, :, None], cols[:, None, :]].add(
+        jnp.where(ok[:, None, None], vals, 0.0), mode="drop"
+    )
+
+
 def _block_system(
     block_idx,  # () int32
     poses, valid, fixed, chain_meas, chain_info, chain_valid, sep_local,
     prev_last_pose,  # (3,) halo: last pose of the previous block
     S: int,
 ):
-    """Assemble one block's partitioned-system pieces.
+    """Assemble one block's partitioned-system pieces in LOCAL separator
+    indexing (S = local capacity K; the driver scatters local pieces
+    into the global separator system via loc_sep).
 
     Returns (A (3M,3M), b_i (3M,), His (3S,3M), Hss (3S,3S), b_s (3S,)).
     """
@@ -120,10 +149,11 @@ def _block_system(
     is_sep = sep_local >= 0
     interior = free & (~is_sep)
 
-    # endpoint A of edge m: m=0 -> previous block's boundary (slot
-    # block_idx-1), m>0 -> local pose m-1
+    # endpoint A of edge m: m=0 -> previous block's boundary (always
+    # LOCAL separator id 0 by construction), m>0 -> local pose m-1
     sepA = jnp.concatenate(
-        [(block_idx - 1)[None].astype(jnp.int32), sep_local[:-1]]
+        [jnp.where(block_idx > 0, 0, -1)[None].astype(jnp.int32),
+         sep_local[:-1]]
     )
     intA = jnp.concatenate([jnp.zeros(1, bool), interior[:-1]])
     freeA = jnp.concatenate([(block_idx > 0)[None], free[:-1]])
@@ -146,76 +176,66 @@ def _block_system(
     m_idx = jnp.arange(M)
     mA = jnp.maximum(m_idx - 1, 0)  # local index of endpoint A (m>0)
 
-    # ---- interior dense system A -------------------------------------
-    D = jnp.zeros((M, 3, 3), dt)
-    D = D.at[mA].add(jnp.where(intA[:, None, None], Hii, 0.0))
-    D = D.at[m_idx].add(jnp.where(intB[:, None, None], Hjj, 0.0))
-    # identity rows for non-interior slots keep A SPD
-    eye = jnp.eye(3, dtype=dt)
-    D = jnp.where(interior[:, None, None], D, 0.0) + jnp.where(
-        interior[:, None, None], 1e-12 * eye, eye
-    )
-    off_ok = (intA & intB)[:, None, None]
-    O = jnp.where(off_ok, Hij, 0.0)  # couples (m-1, m), m >= 1
-
-    A = jnp.zeros((M, 3, M, 3), dt)
-    A = A.at[m_idx, :, m_idx, :].add(D)
-    A = A.at[mA, :, m_idx, :].add(jnp.where(m_idx[:, None, None] > 0, O, 0.0))
-    A = A.at[m_idx, :, mA, :].add(
-        jnp.where(m_idx[:, None, None] > 0, jnp.swapaxes(O, -1, -2), 0.0)
-    )
-    A = A.reshape(3 * M, 3 * M)
-
+    # All matrices are assembled as flat 2-D arrays: on TPU an array
+    # with trailing (..,3,3) dims pads each 3x3 block to a full (8,128)
+    # tile (~114x memory), which OOMs at production scale; scattering
+    # 3x3 blocks into (3M,3M)/(3S,3M)/(3S,3S) avoids that entirely.
     b_i = jnp.zeros((M, 3), dt)
     b_i = b_i.at[mA].add(jnp.where(intA[:, None], bi_, 0.0))
     b_i = b_i.at[m_idx].add(jnp.where(intB[:, None], bj_, 0.0))
 
-    # ---- separator coupling + separator system -----------------------
-    His = jnp.zeros((S, M, 3, 3), dt)  # (sep, interior_col): H[s, i]
+    # interior dense system A: identity rows for non-interior slots
+    base = jnp.where(
+        jnp.repeat(interior, 3), jnp.asarray(1e-12, dt), jnp.asarray(1.0, dt)
+    )
+    A = jnp.diag(base)
+    A = _scatter_blocks(A, jnp.where(intA, mA, -1), jnp.where(intA, mA, -1),
+                        Hii)
+    A = _scatter_blocks(A, jnp.where(intB, m_idx, -1),
+                        jnp.where(intB, m_idx, -1), Hjj)
+    both = intA & intB & (m_idx > 0)
+    A = _scatter_blocks(A, jnp.where(both, mA, -1),
+                        jnp.where(both, m_idx, -1), Hij)
+    A = _scatter_blocks(A, jnp.where(both, m_idx, -1),
+                        jnp.where(both, mA, -1),
+                        jnp.swapaxes(Hij, -1, -2))
+
+    # separator coupling + separator system
     sA = jnp.where(intA, -1, sepA)  # valid slot only when A is separator
     sB = jnp.where(intB, -1, sepB)
-    # A sep & B interior: His[sA, m] += Hij^T? H[s,i] block with s=A,i=B:
-    # H_{A,B} = Hij (A row, B col) -> His[sA, m] += Hij
-    put = (sA >= 0) & intB
-    His = His.at[jnp.where(put, sA, S), m_idx].add(
-        jnp.where(put[:, None, None], Hij, 0.0), mode="drop"
+    His_mat = jnp.zeros((3 * S, 3 * M), dt)
+    put = (sA >= 0) & intB  # H_{A,B} = Hij with A=sep row, B=int col
+    His_mat = _scatter_blocks(
+        His_mat, jnp.where(put, sA, -1), jnp.where(put, m_idx, -1), Hij
     )
-    # A interior & B sep: H_{B,A} = Hij^T -> His[sB, m-1] += Hij^T
-    put2 = (sB >= 0) & intA
-    His = His.at[jnp.where(put2, sB, S), mA].add(
-        jnp.where(put2[:, None, None], jnp.swapaxes(Hij, -1, -2), 0.0),
-        mode="drop",
+    put2 = (sB >= 0) & intA  # H_{B,A} = Hij^T
+    His_mat = _scatter_blocks(
+        His_mat, jnp.where(put2, sB, -1), jnp.where(put2, mA, -1),
+        jnp.swapaxes(Hij, -1, -2),
     )
 
-    Hss = jnp.zeros((S, S, 3, 3), dt)
+    Hss_mat = jnp.zeros((3 * S, 3 * S), dt)
     b_s = jnp.zeros((S, 3), dt)
-    # separator diagonals
     putA = (sA >= 0) & freeA
-    Hss = Hss.at[jnp.where(putA, sA, S), jnp.where(putA, sA, S)].add(
-        jnp.where(putA[:, None, None], Hii, 0.0), mode="drop"
-    )
+    iA = jnp.where(putA, sA, -1)
+    Hss_mat = _scatter_blocks(Hss_mat, iA, iA, Hii)
     b_s = b_s.at[jnp.where(putA, sA, S)].add(
         jnp.where(putA[:, None], bi_, 0.0), mode="drop"
     )
     putB = (sB >= 0) & freeB
-    Hss = Hss.at[jnp.where(putB, sB, S), jnp.where(putB, sB, S)].add(
-        jnp.where(putB[:, None, None], Hjj, 0.0), mode="drop"
-    )
+    iB = jnp.where(putB, sB, -1)
+    Hss_mat = _scatter_blocks(Hss_mat, iB, iB, Hjj)
     b_s = b_s.at[jnp.where(putB, sB, S)].add(
         jnp.where(putB[:, None], bj_, 0.0), mode="drop"
     )
-    # separator-separator off-diagonal (adjacent separators)
     putAB = (sA >= 0) & (sB >= 0)
-    Hss = Hss.at[jnp.where(putAB, sA, S), jnp.where(putAB, sB, S)].add(
-        jnp.where(putAB[:, None, None], Hij, 0.0), mode="drop"
+    Hss_mat = _scatter_blocks(
+        Hss_mat, jnp.where(putAB, sA, -1), jnp.where(putAB, sB, -1), Hij
     )
-    Hss = Hss.at[jnp.where(putAB, sB, S), jnp.where(putAB, sA, S)].add(
-        jnp.where(putAB[:, None, None], jnp.swapaxes(Hij, -1, -2), 0.0),
-        mode="drop",
+    Hss_mat = _scatter_blocks(
+        Hss_mat, jnp.where(putAB, sB, -1), jnp.where(putAB, sA, -1),
+        jnp.swapaxes(Hij, -1, -2),
     )
-
-    His_mat = His.transpose(0, 2, 1, 3).reshape(3 * S, 3 * M)
-    Hss_mat = Hss.transpose(0, 2, 1, 3).reshape(3 * S, 3 * S)
     return A, b_i.reshape(3 * M), His_mat, Hss_mat, b_s.reshape(3 * S)
 
 
@@ -236,20 +256,17 @@ def _closure_system(sep_poses, sg: SepGraph, phi, S):
     OJi = jnp.einsum("nab,nbc->nac", info_w, Ji)
     OJj = jnp.einsum("nab,nbc->nac", info_w, Jj)
 
-    Hss = jnp.zeros((S, S, 3, 3), dt)
+    Hss = jnp.zeros((3 * S, 3 * S), dt)
     b_s = jnp.zeros((S, 3), dt)
     si, sj = sg.clo_sep_i, sg.clo_sep_j
-    Hss = Hss.at[si, si].add(jnp.einsum("nba,nbc->nac", Ji, OJi))
-    Hss = Hss.at[sj, sj].add(jnp.einsum("nba,nbc->nac", Jj, OJj))
+    Hss = _scatter_blocks(Hss, si, si, jnp.einsum("nba,nbc->nac", Ji, OJi))
+    Hss = _scatter_blocks(Hss, sj, sj, jnp.einsum("nba,nbc->nac", Jj, OJj))
     Hij = jnp.einsum("nba,nbc->nac", Ji, OJj)
-    Hss = Hss.at[si, sj].add(Hij)
-    Hss = Hss.at[sj, si].add(jnp.swapaxes(Hij, -1, -2))
+    Hss = _scatter_blocks(Hss, si, sj, Hij)
+    Hss = _scatter_blocks(Hss, sj, si, jnp.swapaxes(Hij, -1, -2))
     b_s = b_s.at[si].add(-jnp.einsum("nba,nb->na", OJi, e))
     b_s = b_s.at[sj].add(-jnp.einsum("nba,nb->na", OJj, e))
-    return (
-        Hss.transpose(0, 2, 1, 3).reshape(3 * S, 3 * S),
-        b_s.reshape(3 * S),
-    )
+    return Hss, b_s.reshape(3 * S)
 
 
 def _block_gn_pieces(block_idx, blk, prev_last_pose, S):
@@ -262,23 +279,59 @@ def _block_gn_pieces(block_idx, blk, prev_last_pose, S):
         block_idx, blk.poses, blk.valid, blk.fixed, blk.chain_meas,
         blk.chain_info, blk.chain_valid, blk.sep_local, prev_last_pose, S,
     )
-    chol = jax.scipy.linalg.cho_factor(A)
-    rhs = jnp.concatenate([b_i[:, None], His.T], axis=1)  # (3M, 1+3S)
-    Y = jax.scipy.linalg.cho_solve(chol, rhs)
-    S_contrib = His @ Y[:, 1:]  # (3S, 3S)
-    rhs_contrib = His @ Y[:, 0]  # (3S,)
-    return S_contrib, rhs_contrib, Hss, b_s, Y, His
+    # equilibrated solve: chain normal matrices are badly conditioned
+    # for float32 Cholesky at production block sizes
+    rhs = jnp.concatenate([b_i[:, None], His.T], axis=1)  # (3M, 1+3K)
+    Y = _eq_chol_solve(A, rhs)
+    S_contrib = His @ Y[:, 1:]  # (3K, 3K)
+    rhs_contrib = His @ Y[:, 0]  # (3K,)
+    return S_contrib, rhs_contrib, Hss, b_s, Y
 
 
-def _apply_updates(blk: BlockedGraph, Y, His, d_s, sep_local):
-    """delta_i = Y0 - (A^-1 His^T) d_s; separator poses take d_s."""
-    M = blk.poses.shape[-2]
-    d_i = (Y[:, 0] - Y[:, 1:] @ d_s).reshape(M, 3)
+def _apply_updates(poses, Y, d_loc, sep_local):
+    """delta_i = Y0 - (A^-1 His^T) d_loc; separator poses take their
+    local separator update. poses (M,3); d_loc (3K,)."""
+    M = poses.shape[-2]
+    d_i = (Y[:, 0] - Y[:, 1:] @ d_loc).reshape(M, 3)
     is_sep = sep_local >= 0
-    d_sep = d_s.reshape(-1, 3)[jnp.maximum(sep_local, 0)]
+    d_sep = d_loc.reshape(-1, 3)[jnp.maximum(sep_local, 0)]
     d = jnp.where(is_sep[:, None], d_sep, d_i)
-    poses = blk.poses + d
+    poses = poses + d
     return poses.at[..., 2].set(wrap_angle(poses[..., 2]))
+
+
+def _gather_local(d_s, loc_sep_row):
+    """(3S,) global separator update -> (3K,) local (0 for padding)."""
+    dsr = d_s.reshape(-1, 3)
+    out = dsr[jnp.maximum(loc_sep_row, 0)]
+    return jnp.where((loc_sep_row >= 0)[:, None], out, 0.0).reshape(-1)
+
+
+def _locals_to_global(S_base, b_base, loc_sep, S_loc, b_loc):
+    """Scatter per-block local Schur pieces into the global separator
+    system. loc_sep (..., K); S_loc (..., 3K, 3K); b_loc (..., 3K).
+    Leading block dims are flattened."""
+    K = loc_sep.shape[-1]
+    ls = loc_sep.reshape(-1, K)
+    nb = ls.shape[0]
+    vals = (
+        S_loc.reshape(nb, K, 3, K, 3)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(-1, 3, 3)
+    )
+    bi = jnp.broadcast_to(ls[:, :, None], (nb, K, K)).reshape(-1)
+    bj = jnp.broadcast_to(ls[:, None, :], (nb, K, K)).reshape(-1)
+    S_out = _scatter_blocks(S_base, bi, bj, vals)
+    S_dim = b_base.shape[0] // 3
+    idx = jnp.where(ls >= 0, ls, S_dim).reshape(-1)
+    bv = b_loc.reshape(nb * K, 3)
+    b_out = (
+        b_base.reshape(-1, 3)
+        .at[idx]
+        .add(jnp.where((idx < S_dim)[:, None], bv, 0.0), mode="drop")
+        .reshape(-1)
+    )
+    return S_out, b_out
 
 
 # ---------------------------------------------------------------------------
@@ -286,6 +339,10 @@ def _apply_updates(blk: BlockedGraph, Y, His, d_s, sep_local):
 # ---------------------------------------------------------------------------
 
 
+from ..ops.solvers import precise
+
+
+@precise
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def optimize_pose_graph_blocked(
     bg: BlockedGraph, sg: SepGraph, phi, iterations: int = 20
@@ -293,53 +350,48 @@ def optimize_pose_graph_blocked(
     """Block-sparse GN on one device. Returns updated (P, M, 3) poses."""
     P, M = bg.poses.shape[0], bg.poses.shape[1]
     S = sg.sep_valid.shape[0]
+    K = bg.loc_sep.shape[1]
     dt = bg.poses.dtype
     block_ids = jnp.arange(P, dtype=jnp.int32)
 
     def gn_iter(poses, _):
-        blk = bg._replace(poses=poses)
         prev_last = jnp.concatenate(
             [jnp.zeros((1, 3), dt), poses[:-1, -1, :]], axis=0
         )
         sep_poses = poses[sg.sep_pose_block, sg.sep_pose_off]
 
-        Sc, rc, Hss, bs, Y, His = _vmapped_pieces(
-            block_ids, blk, prev_last, S
+        Sc, rc, Hss, bs, Y = _vmapped_pieces(
+            block_ids, bg, poses, prev_last, K
         )
-        Hss_c, bs_c = _closure_system(sep_poses, sg, phi, S)
         eye = jnp.eye(3 * S, dtype=dt)
         sep_free = jnp.repeat(sg.sep_valid, 3)
-        S_dense = (
-            Hss_c + Hss.sum(0) - Sc.sum(0)
-            + jnp.where(sep_free, 1e-12, 1.0) * eye
+        Hss_c, bs_c = _closure_system(sep_poses, sg, phi, S)
+        S_base = Hss_c + jnp.where(sep_free, 1e-12, 1.0) * eye
+        S_dense, rhs_s = _locals_to_global(
+            S_base, bs_c, bg.loc_sep, Hss - Sc, bs - rc
         )
         S_dense = jnp.where(
-            sep_free[:, None] & sep_free[None, :], S_dense,
-            eye,
+            sep_free[:, None] & sep_free[None, :], S_dense, eye
         )
-        rhs_s = jnp.where(sep_free, bs_c + bs.sum(0) - rc.sum(0), 0.0)
-        chol = jax.scipy.linalg.cho_factor(S_dense)
-        d_s = jax.scipy.linalg.cho_solve(chol, rhs_s)
-        new_poses = jax.vmap(
-            lambda p, y, h, sl: _apply_updates(
-                bg._replace(poses=p), y, h, d_s, sl
-            ),
-            in_axes=(0, 0, 0, 0),
-        )(poses, Y, His, bg.sep_local)
+        rhs_s = jnp.where(sep_free, rhs_s, 0.0)
+        d_s = _eq_chol_solve(S_dense, rhs_s)
+        d_loc = jax.vmap(lambda ls: _gather_local(d_s, ls))(bg.loc_sep)
+        new_poses = jax.vmap(_apply_updates)(poses, Y, d_loc, bg.sep_local)
         return new_poses, None
 
     poses, _ = jax.lax.scan(gn_iter, bg.poses, None, length=iterations)
     return poses
 
 
-def _vmapped_pieces(block_ids, blk: BlockedGraph, prev_last, S):
-    def one(bi, poses, valid, fixed, cm, ci, cv, sl, pl):
-        b = BlockedGraph(poses, valid, fixed, cm, ci, cv, sl)
-        return _block_gn_pieces(bi, b, pl, S)
+def _vmapped_pieces(block_ids, bg: BlockedGraph, poses, prev_last, K):
+    def one(bi, p, valid, fixed, cm, ci, cv, sl, ls, pl):
+        b = BlockedGraph(p, valid, fixed, cm, ci, cv, sl, ls)
+        return _block_gn_pieces(bi, b, pl, K)
 
-    return jax.vmap(one, in_axes=(0,) * 9)(
-        block_ids, blk.poses, blk.valid, blk.fixed, blk.chain_meas,
-        blk.chain_info, blk.chain_valid, blk.sep_local, prev_last,
+    return jax.vmap(one, in_axes=(0,) * 10)(
+        block_ids, poses, bg.valid, bg.fixed, bg.chain_meas,
+        bg.chain_info, bg.chain_valid, bg.sep_local, bg.loc_sep,
+        prev_last,
     )
 
 
@@ -376,6 +428,7 @@ def optimize_pose_graph_sharded(
     def run(blk_sh: BlockedGraph, sg_rep: SepGraph):
         dt = blk_sh.poses.dtype
         my = jax.lax.axis_index(axis).astype(jnp.int32)
+        K = blk_sh.loc_sep.shape[-1]
 
         def gn_iter(poses, _):
             blk = jax.tree_util.tree_map(lambda x: x[0], blk_sh)._replace(
@@ -398,12 +451,18 @@ def optimize_pose_graph_sharded(
             )
             sep_poses = jax.lax.psum(sep_poses, axis)
 
-            Sc, rc, Hss, bs, Y, His = _block_gn_pieces(
-                my, blk, prev_last, S
+            Sc, rc, Hss, bs, Y = _block_gn_pieces(
+                my, blk, prev_last, K
             )
+            # local (3K,3K) pieces scatter into the global separator
+            # system, then psum-reduce across devices
+            S_part, b_part = _locals_to_global(
+                jnp.zeros((3 * S, 3 * S), dt), jnp.zeros(3 * S, dt),
+                blk.loc_sep, Hss - Sc, bs - rc,
+            )
+            Hss_tot = jax.lax.psum(S_part, axis)
+            bs_tot = jax.lax.psum(b_part, axis)
             Hss_c, bs_c = _closure_system(sep_poses, sg_rep, phi, S)
-            Hss_tot = jax.lax.psum(Hss - Sc, axis)
-            bs_tot = jax.lax.psum(bs - rc, axis)
             eye = jnp.eye(3 * S, dtype=dt)
             sep_free = jnp.repeat(sg_rep.sep_valid, 3)
             S_dense = Hss_c + Hss_tot + jnp.where(sep_free, 1e-12, 1.0) * eye
@@ -411,9 +470,9 @@ def optimize_pose_graph_sharded(
                 sep_free[:, None] & sep_free[None, :], S_dense, eye
             )
             rhs_s = jnp.where(sep_free, bs_c + bs_tot, 0.0)
-            chol = jax.scipy.linalg.cho_factor(S_dense)
-            d_s = jax.scipy.linalg.cho_solve(chol, rhs_s)
-            new_poses = _apply_updates(blk, Y, His, d_s, blk.sep_local)
+            d_s = _eq_chol_solve(S_dense, rhs_s)
+            d_loc = _gather_local(d_s, blk.loc_sep)
+            new_poses = _apply_updates(poses, Y, d_loc, blk.sep_local)
             return new_poses, None
 
         poses, _ = jax.lax.scan(
@@ -421,7 +480,8 @@ def optimize_pose_graph_sharded(
         )
         return poses[None]
 
-    return run(bg, sg)
+    with jax.default_matmul_precision("highest"):
+        return run(bg, sg)
 
 
 # ---------------------------------------------------------------------------

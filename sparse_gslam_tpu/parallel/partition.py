@@ -22,6 +22,13 @@ class PartitionPlan(NamedTuple):
     (filler slots point at pose 0 with sep_valid False);
     sep_id_of_pose (N,): inverse map, -1 where not a separator;
     clo_sep_i / clo_sep_j (C,): separator slot of each closure endpoint.
+
+    Locality (keeps the per-block Schur work O(local separators), not
+    O(S)): loc_sep (P, K): global slot ids of the separators each block
+    touches (the previous block's boundary first, then slots whose pose
+    lies in the block), -1 padded; sep_local_id (N,): position of a
+    pose's separator slot within its OWN block's loc_sep list, -1 where
+    not a separator.
     """
 
     n_blocks: int
@@ -31,6 +38,8 @@ class PartitionPlan(NamedTuple):
     sep_id_of_pose: np.ndarray
     clo_sep_i: np.ndarray
     clo_sep_j: np.ndarray
+    loc_sep: np.ndarray
+    sep_local_id: np.ndarray
 
 
 def make_partition(
@@ -73,7 +82,27 @@ def make_partition(
         sep_pose[slot] = pose_idx
         sep_valid[slot] = True
         sep_id_of_pose[pose_idx] = slot
+
+    # per-block local separator lists: previous boundary first, then
+    # this block's own separator slots in pose order
+    per_block: list[list[int]] = [[] for _ in range(n_blocks)]
+    for b in range(1, n_blocks):
+        per_block[b].append(b - 1)  # previous block's boundary slot
+    for pose_idx in sorted(sep_set):
+        per_block[pose_idx // M].append(sep_set[pose_idx])
+    K = max(max(len(l) for l in per_block), 1)
+    Kcap = 4
+    while Kcap < K:
+        Kcap *= 2
+    loc_sep = np.full((n_blocks, Kcap), -1, np.int32)
+    sep_local_id = np.full(n_poses_padded, -1, np.int32)
+    for b, slots in enumerate(per_block):
+        for li, slot in enumerate(slots):
+            loc_sep[b, li] = slot
+            pose_idx = int(sep_pose[slot])
+            if pose_idx // M == b:
+                sep_local_id[pose_idx] = li
     return PartitionPlan(
         n_blocks, M, sep_pose, sep_valid, sep_id_of_pose,
-        clo_sep_i, clo_sep_j,
+        clo_sep_i, clo_sep_j, loc_sep, sep_local_id,
     )
