@@ -14,7 +14,7 @@ import time as _time
 import numpy as np
 
 from ..io.providers import Frame
-from ..ops.lines import extract_lines
+from ..ops.lines import extract_lines_any
 from ..ops.multicloud import MulticloudConverter
 from ..utils import se2
 from ..utils.config import ExtractorConfig, SlamConfig
@@ -84,7 +84,7 @@ class SlamSystem:
         mc_out = self.mc.update(ranges, self.deltas, self.zero_pose)
         if mc_out is not None:
             t0 = _time.perf_counter()
-            segments = extract_lines(
+            segments = extract_lines_any(
                 mc_out.points, mc_out.covs, self.ls_params
             )
             self.frontend.tick(

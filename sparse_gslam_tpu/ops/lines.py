@@ -343,3 +343,19 @@ def extract_lines(points, covs, params: ExtractorConfig) -> Segments:
     lasts = np.stack([p[1] for p in seg_pts])
     starts, ends = _project_endpoints(rts, firsts, lasts)
     return Segments(rts, cvs, starts, ends)
+
+
+def extract_lines_any(points, covs, params: ExtractorConfig) -> Segments:
+    """Dispatch on params.algorithm (the reference's compile-time
+    include swap, ls_extractor/README.md:9)."""
+    if params.algorithm == "smc":
+        return extract_lines(points, covs, params)
+    if params.algorithm == "smf":
+        from .lines_smf import extract_lines_smf
+
+        return extract_lines_smf(points, covs, params)
+    if params.algorithm == "hough":
+        from .lines_hough import extract_lines_hough
+
+        return extract_lines_hough(points, covs, params)
+    raise ValueError(f"unknown extractor algorithm {params.algorithm!r}")

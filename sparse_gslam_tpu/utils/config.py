@@ -28,6 +28,10 @@ class ExtractorConfig:
     rmse_thresh: float = 0.1  # unused by SMC, kept for schema parity
     cluster_threshold: float = 100.0
     min_line_points: int = 10
+    # Extractor algorithm: "smc" (default, the evaluated one), "smf"
+    # (fuzzy split-merge), or "hough" -- the reference selects these at
+    # compile time by swapping includes (ls_extractor/README.md:9)
+    algorithm: str = "smc"
     # Behavior switch NOT in the reference: the reference's chi^2 merge step
     # is unreachable as shipped (smc.cpp:14-25 gapBetween never updates its
     # 1e10 init, so the gap test always fails). "reference" replicates that;
