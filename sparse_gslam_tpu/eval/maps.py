@@ -32,7 +32,7 @@ def render_map(
     for i in range(n):
         keyframes[i].data.transform_into(est[i], world)
     if len(world.points) == 0:
-        return np.zeros((64, 64), np.float32), np.zeros(2)
+        return np.zeros((64, 64), np.float32), np.zeros(2), resolution
     lo = world.points.min(0)
     hi = world.points.max(0)
     extent = float(max(hi[0] - lo[0], hi[1] - lo[1])) + 4.0
@@ -40,7 +40,7 @@ def render_map(
     size = min(size, max_size)
     spec = GridSpec(size=size, resolution=extent / size)
     sm = build_submap_grid(world, spec, hit_p, miss_p)
-    return np.asarray(sm.probs), np.asarray(sm.origin)
+    return np.asarray(sm.probs), np.asarray(sm.origin), spec.resolution
 
 
 def save_map_png(path, probs, estimates=None, origin=None,

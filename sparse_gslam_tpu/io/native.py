@@ -82,3 +82,34 @@ def posegraph_gn_native(g, phi: float, iterations: int) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"native solver failed rc={rc}")
     return poses
+
+
+def parse_carmen_native(path: str):
+    """Fast CARMEN log parse via the C++ loader; returns
+    (times (N,), poses (N,3), ranges_flat, offsets (N+1,)).
+    Same semantics as providers.CarmenLogDataProvider (time-sorted).
+    """
+    lib = load("carmen", "carmen_parser.cpp")
+    lib.carmen_parse.restype = ctypes.c_void_p
+    lib.carmen_num_frames.restype = ctypes.c_longlong
+    lib.carmen_num_ranges.restype = ctypes.c_longlong
+    h = lib.carmen_parse(path.encode())
+    if not h:
+        raise IOError(f"cannot parse {path}")
+    try:
+        n = lib.carmen_num_frames(ctypes.c_void_p(h))
+        m = lib.carmen_num_ranges(ctypes.c_void_p(h))
+        ranges = np.empty(m, np.float64)
+        offsets = np.empty(n + 1, np.int64)
+        poses = np.empty((n, 3), np.float64)
+        times = np.empty(n, np.float64)
+        lib.carmen_copy(
+            ctypes.c_void_p(h),
+            ranges.ctypes.data_as(ctypes.c_void_p),
+            offsets.ctypes.data_as(ctypes.c_void_p),
+            poses.ctypes.data_as(ctypes.c_void_p),
+            times.ctypes.data_as(ctypes.c_void_p),
+        )
+    finally:
+        lib.carmen_free(ctypes.c_void_p(h))
+    return times, poses, ranges, offsets

@@ -41,7 +41,16 @@ class CarmenLogDataProvider(DataProvider):
     are sorted by timestamp before replay.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, use_native: bool = True):
+        self._native = None
+        if use_native:
+            try:
+                from .native import parse_carmen_native
+
+                self._native = parse_carmen_native(path)
+                return
+            except Exception:
+                self._native = None  # fall back to the python parser
         data = []
         with open(path) as f:
             for line in f:
@@ -59,6 +68,14 @@ class CarmenLogDataProvider(DataProvider):
         self._data = data
 
     def frames(self) -> Iterator[Frame]:
+        if self._native is not None:
+            times, poses, ranges, offsets = self._native
+            for i in range(len(times)):
+                yield Frame(
+                    float(times[i]), poses[i],
+                    ranges[offsets[i] : offsets[i + 1]],
+                )
+            return
         for t, p, r in self._data:
             yield Frame(t, p, r)
 

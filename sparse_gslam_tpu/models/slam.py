@@ -9,6 +9,7 @@ streams to .ftime/.btime like the reference (log_runner.cpp:146-158).
 """
 from __future__ import annotations
 
+import threading
 import time as _time
 
 import numpy as np
@@ -41,6 +42,11 @@ class SlamSystem:
         self.timing = None  # optional TimingWriter
         self.frontend_times: list[float] = []
         self.backend_times: list[float] = []
+        # graph lock for the simulated-realtime mode: the reference
+        # protects its two graphs with shared mutexes
+        # (include/graphs.h:21,32); functional state needs only mutual
+        # exclusion between the frontend tick and the backend snapshot
+        self.lock = threading.Lock()
 
     # ------------------------------------------------------------------
     def _subsample(self, full_range: np.ndarray):
@@ -106,6 +112,47 @@ class SlamSystem:
         if self.timing:
             self.timing.dataset(frame.time)
         self.frame_idx += 1
+
+    # ------------------------------------------------------------------
+    def run_realtime(self, frames, rate: float = 1.0):
+        """Simulated-realtime replay (log_runner.cpp:214-239): the
+        frontend paces itself by dataset timestamps / rate while a
+        free-running backend thread computes loop closures every 10 ms.
+        """
+        running = True
+
+        def lc_loop():
+            while running:
+                with self.lock:
+                    if self.backend is not None:
+                        self.backend.precompute()
+                        self.backend.match()
+                _time.sleep(0.01)
+
+        t = threading.Thread(target=lc_loop, daemon=True)
+        t.start()
+        prev_time = None
+        try:
+            for frame in frames:
+                t0 = _time.perf_counter()
+                with self.lock:
+                    # frontend only: the backend runs on its own thread
+                    backend, self.backend = self.backend, None
+                    try:
+                        self.process_frame(frame)
+                    finally:
+                        self.backend = backend
+                if prev_time is not None:
+                    sleep = (frame.time - prev_time) / rate - (
+                        _time.perf_counter() - t0
+                    )
+                    if sleep > 0:
+                        _time.sleep(sleep)
+                prev_time = frame.time
+        finally:
+            running = False
+            t.join()
+        self.final_cleanup()
 
     # ------------------------------------------------------------------
     def final_cleanup(self):

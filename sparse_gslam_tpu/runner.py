@@ -27,6 +27,18 @@ def main(argv=None):
     ap.add_argument("--eval", action="store_true")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument(
+        "--realtime", action="store_true",
+        help="simulated-realtime mode: frontend paced by timestamps, "
+        "backend free-running on its own thread (log_runner.cpp:214-239)",
+    )
+    ap.add_argument("--rate", type=float, default=1.0)
+    ap.add_argument(
+        "--map-png", default="",
+        help="write a global occupancy map PNG after the run",
+    )
+    ap.add_argument("--checkpoint", default="", help="save state here")
+    ap.add_argument("--resume", default="", help="load state first")
+    ap.add_argument(
         "--platform", default="cpu",
         help="jax platform for solver kernels (cpu keeps float64)",
     )
@@ -50,23 +62,39 @@ def main(argv=None):
 
     system = SlamSystem(slam_cfg, ls_cfg, enable_backend=not args.no_backend)
     system.timing = TimingWriter(prefix)
+    if args.resume:
+        from .utils.checkpoint import load_checkpoint
+
+        load_checkpoint(args.resume, system)
+        print(f"resumed from {args.resume}")
 
     t0 = time.time()
     n = 0
-    for frame in provider.frames():
-        system.process_frame(frame)
-        n += 1
-        if args.max_frames and n >= args.max_frames:
-            break
-        if n % 500 == 0:
-            print(
-                f"frame {n} kf={len(system.frontend.keyframes)} "
-                f"lms={len(system.frontend.landmarks)} "
-                f"({time.time() - t0:.1f}s)",
-                flush=True,
-            )
-    system.final_cleanup()
+    if args.realtime:
+        frames = list(provider.frames())
+        if args.max_frames:
+            frames = frames[: args.max_frames]
+        n = len(frames)
+        system.run_realtime(frames, rate=args.rate)
+    else:
+        for frame in provider.frames():
+            system.process_frame(frame)
+            n += 1
+            if args.max_frames and n >= args.max_frames:
+                break
+            if n % 500 == 0:
+                print(
+                    f"frame {n} kf={len(system.frontend.keyframes)} "
+                    f"lms={len(system.frontend.landmarks)} "
+                    f"({time.time() - t0:.1f}s)",
+                    flush=True,
+                )
+        system.final_cleanup()
     wall = time.time() - t0
+    if args.checkpoint:
+        from .utils.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint, system)
     system.timing.close()
     system.write_result(prefix + ".result")
     nkf = len(system.frontend.keyframes)
@@ -82,6 +110,22 @@ def main(argv=None):
             f"{system.backend.closure_count} closures "
             f"({system.backend.false_closure_count} pruned)"
         )
+
+    if args.map_png:
+        from .eval.maps import render_map, save_map_png
+
+        est = system.frontend.estimates()
+        if system.backend is not None and system.backend.pose_count > 0:
+            import numpy as np
+
+            pg = system.backend.pose_estimates()
+            est = np.concatenate([pg, est[len(pg):]])
+        probs, origin, res = render_map(
+            system.frontend.keyframes, est,
+            resolution=slam_cfg.map_resolution,
+        )
+        save_map_png(args.map_png, probs, est, origin, resolution=res)
+        print(f"map written to {args.map_png}")
 
     if args.eval:
         from .eval.relations import evaluate_files
