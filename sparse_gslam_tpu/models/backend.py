@@ -225,8 +225,8 @@ class SubmapLoopCloser:
             cfg.submap_resolution,
         )
 
-        best = None
         eit = len(self.submaps) - cfg.last_submap_not_match
+        candidates = []
         for sm in self.submaps[:eit]:
             anchor = map_pose(sm.anchor_idx)
             if (
@@ -234,12 +234,23 @@ class SubmapLoopCloser:
                 >= cfg.max_match_distance
             ):
                 continue
-            init_theta = se2.wrap_angle(bl_trans[2] - anchor[2])
-            score, pose, cov = matching.match_submap(
-                sm.score_grid, sm.origin, sm.resolution, query,
-                float(init_theta), spec,
+            candidates.append(
+                (sm, float(se2.wrap_angle(bl_trans[2] - anchor[2])))
             )
-            self.match_calls += 1
+        if not candidates:
+            return False
+        # batched matchOne over all candidates (the ctpl-pool fan-out of
+        # submap_loop_closer.cpp:158-171 as one vmapped kernel call)
+        results = matching.match_submaps_batched(
+            [c[0].score_grid for c in candidates],
+            [np.asarray(c[0].origin) for c in candidates],
+            [c[1] for c in candidates],
+            query,
+            spec,
+        )
+        self.match_calls += len(candidates)
+        best = None
+        for (sm, _), (score, pose, cov) in zip(candidates, results):
             if score > self.loop_closure_min_score and (
                 best is None or score > best[0]
             ):

@@ -299,6 +299,99 @@ def refine_pose(
 
 
 # ---------------------------------------------------------------------------
+# batched candidate matching: the reference fans one thread per
+# candidate submap (submap_loop_closer.cpp:158-162 ctpl pool); here the
+# candidate set is a vmap batch dimension over fixed-size grids.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_angular", "n_linear", "size", "fft_size"),
+)
+def correlate_batch(
+    score_grids,  # (C, size, size)
+    origins,  # (C, 2)
+    init_thetas,  # (C,)
+    points,  # (N, 2) shared query
+    point_valid,  # (N,)
+    angular_step,
+    resolution: float,
+    n_angular: int,
+    n_linear: int,
+    size: int,
+    fft_size: int,
+):
+    """Score + argmax + covariance for C candidate submaps at once.
+    Returns (scores (C,), poses (C,3), covs (C,3,3))."""
+
+    def one(grid, origin, th0):
+        scores, thetas = correlate_all(
+            grid, origin, points, point_valid, th0, angular_step,
+            resolution, n_angular, n_linear, size, fft_size,
+        )
+        return best_candidate_with_cov(
+            scores, thetas, th0, angular_step, resolution, n_linear
+        )
+
+    return jax.vmap(one)(score_grids, origins, init_thetas)
+
+
+def match_submaps_batched(
+    score_grids,  # list of (size,size) jnp arrays (same shape)
+    origins,
+    init_thetas,
+    points,  # (N,2) numpy
+    spec: SearchSpec,
+    chunk: int = 8,
+    fft_margin_bucket: int = 128,
+):
+    """Batched matchOne over candidate submaps with memory-bounded
+    chunking. Returns list of (score, pose, cov) numpy triples."""
+    import numpy as _np
+
+    size = score_grids[0].shape[0]
+    N = len(points)
+    n_bucket = 256
+    while n_bucket < N:
+        n_bucket *= 2
+    pts = _np.zeros((n_bucket, 2), _np.float32)
+    pts[:N] = points
+    valid = _np.zeros(n_bucket, bool)
+    valid[:N] = True
+    fft_size = size + fft_margin_bucket
+    out = []
+    for c0 in range(0, len(score_grids), chunk):
+        gs = score_grids[c0 : c0 + chunk]
+        # pad to the next power of two <= chunk (few compiled variants,
+        # no 8x padding waste when there is a single candidate)
+        csize = 1
+        while csize < len(gs):
+            csize *= 2
+        pad = csize - len(gs)
+        grids = jnp.stack(list(gs) + [gs[0]] * pad)
+        origs = jnp.stack(
+            list(origins[c0 : c0 + chunk])
+            + [origins[c0]] * pad
+        )
+        th0 = jnp.asarray(
+            list(init_thetas[c0 : c0 + chunk])
+            + [init_thetas[c0]] * pad,
+            jnp.float32,
+        )
+        s, p, cv = correlate_batch(
+            grids, origs, th0, jnp.asarray(pts), jnp.asarray(valid),
+            jnp.float32(spec.angular_step), float(spec.resolution),
+            int(spec.n_angular), int(spec.n_linear), int(size),
+            int(fft_size),
+        )
+        s, p, cv = _np.asarray(s), _np.asarray(p), _np.asarray(cv)
+        for k in range(len(gs)):
+            out.append((float(s[k]), p[k], cv[k]))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # host-facing match wrapper
 # ---------------------------------------------------------------------------
 

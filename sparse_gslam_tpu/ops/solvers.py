@@ -142,6 +142,78 @@ def rhotheta_edge_jacobians(poses, lms, zs):
 
 
 # ---------------------------------------------------------------------------
+# block-tridiagonal machinery (3x3 blocks)
+# ---------------------------------------------------------------------------
+
+
+def inv3(m):
+    """Explicit 3x3 inverse (adjugate) -- batched-friendly, avoids the
+    generic LU path for the tiny blocks of chain systems."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / det
+    rows = [
+        jnp.stack([A, B, C], axis=-1),
+        jnp.stack([D, E, F], axis=-1),
+        jnp.stack([G, H, I], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2) * inv_det[..., None, None]
+
+
+def tridiag_solve(D, O, rhs):
+    """Solve a block-tridiagonal SPD system (3x3 blocks) for multiple
+    right-hand sides via block LDL^T with a forward/backward lax.scan.
+
+    D: (P, 3, 3) diagonal blocks; O: (P, 3, 3) with O[i] the
+    H[i-1, i] coupling block (O[0] ignored); rhs: (P, 3, R).
+    Returns x (P, 3, R). O(P) -- replaces the dense (3P)^3 Cholesky for
+    chain-structured systems (the landmark-graph pose chain).
+    """
+    P = D.shape[0]
+    O = O.at[0].set(0.0)
+
+    def fwd(carry, inp):
+        S_prev_inv, y_prev = carry
+        D_i, O_i, r_i = inp
+        L = jnp.swapaxes(O_i, -1, -2) @ S_prev_inv  # (3,3)
+        S_i = D_i - L @ O_i
+        S_inv = inv3(S_i)
+        y_i = r_i - L @ y_prev
+        return (S_inv, y_i), (S_inv, y_i)
+
+    R = rhs.shape[-1]
+    init = (jnp.zeros((3, 3), D.dtype), jnp.zeros((3, R), D.dtype))
+    _, (S_invs, ys) = jax.lax.scan(fwd, init, (D, O, rhs))
+
+    def bwd(x_next, inp):
+        S_inv, y, O_next = inp
+        x_i = S_inv @ (y - O_next @ x_next)
+        return x_i, x_i
+
+    O_next = jnp.concatenate(
+        [O[1:], jnp.zeros((1, 3, 3), D.dtype)], axis=0
+    )
+    _, xs = jax.lax.scan(
+        bwd,
+        jnp.zeros((3, R), D.dtype),
+        (S_invs, ys, O_next),
+        reverse=True,
+    )
+    return xs
+
+
+# ---------------------------------------------------------------------------
 # robust kernel
 # ---------------------------------------------------------------------------
 
@@ -310,6 +382,127 @@ def _schur_solve(g: LMGraphData, Hpp, bp, Hll, bl, Hpl_e, lam):
     return dp, dl
 
 
+def _chol2(m):
+    """Closed-form 2x2 Cholesky factor of SPD matrices (...,2,2)."""
+    a = jnp.sqrt(jnp.maximum(m[..., 0, 0], 1e-30))
+    b = m[..., 1, 0] / a
+    c = jnp.sqrt(jnp.maximum(m[..., 1, 1] - b * b, 1e-30))
+    z = jnp.zeros_like(a)
+    return jnp.stack(
+        [jnp.stack([a, z], -1), jnp.stack([b, c], -1)], -2
+    )
+
+
+def _lm_tridiag_assemble(g: LMGraphData):
+    """Assemble the chain-structured landmark-graph normal equations:
+    (D (P,3,3) undamped pose diag, O (P,3,3) chain off-diag, bp,
+    Hll (L,2,2) undamped, bl, W_e (E,3,2) pose-landmark coupling)."""
+    P = g.poses.shape[0]
+    L = g.lms.shape[0]
+    dt = g.poses.dtype
+    idx_prev = jnp.maximum(jnp.arange(P) - 1, 0)
+    xi = g.poses[idx_prev]
+    eo = se2_edge_residual(xi, g.poses, g.odom_meas)
+    Ji, Jj = se2_edge_jacobians(xi, g.poses, g.odom_meas)
+    w_o = g.odom_valid.astype(dt)
+    free_i = (~g.pose_fixed[idx_prev]).astype(dt)
+    free_j = (~g.pose_fixed).astype(dt)
+    Ji = Ji * (w_o * free_i)[:, None, None]
+    Jj = Jj * (w_o * free_j)[:, None, None]
+    OJi = jnp.einsum("nab,nbc->nac", g.odom_info, Ji)
+    OJj = jnp.einsum("nab,nbc->nac", g.odom_info, Jj)
+    D = jnp.zeros((P, 3, 3), dt)
+    D = D.at[idx_prev].add(jnp.einsum("nba,nbc->nac", Ji, OJi))
+    D = D.at[jnp.arange(P)].add(jnp.einsum("nba,nbc->nac", Jj, OJj))
+    O = jnp.einsum("nba,nbc->nac", Ji, OJj)  # H[i-1, i]
+    eo_w = eo * w_o[:, None]
+    bp = jnp.zeros((P, 3), dt)
+    bp = bp.at[idx_prev].add(-jnp.einsum("nba,nb->na", OJi, eo_w))
+    bp = bp.at[jnp.arange(P)].add(-jnp.einsum("nba,nb->na", OJj, eo_w))
+
+    ep = g.poses[g.obs_pose]
+    el = g.lms[g.obs_lm]
+    r = rhotheta_edge_residual(ep, el, g.obs_meas)
+    Jp, Jl = rhotheta_edge_jacobians(ep, el, g.obs_meas)
+    w_e = g.obs_valid.astype(dt)
+    free_p = (~g.pose_fixed[g.obs_pose]).astype(dt)
+    Jp = Jp * (w_e * free_p)[:, None, None]
+    Jl = Jl * w_e[:, None, None]
+    OJp = jnp.einsum("nab,nbc->nac", g.obs_info, Jp)
+    OJl = jnp.einsum("nab,nbc->nac", g.obs_info, Jl)
+    D = D.at[g.obs_pose].add(jnp.einsum("nba,nbc->nac", Jp, OJp))
+    Hll = jnp.zeros((L, 2, 2), dt)
+    Hll = Hll.at[g.obs_lm].add(jnp.einsum("nba,nbc->nac", Jl, OJl))
+    W_e = jnp.einsum("nba,nbc->nac", Jp, OJl)  # (E,3,2) at (p_e, l_e)
+    r_w = r * w_e[:, None]
+    bp = bp.at[g.obs_pose].add(-jnp.einsum("nba,nb->na", OJp, r_w))
+    bl = jnp.zeros((L, 2), dt)
+    bl = bl.at[g.obs_lm].add(-jnp.einsum("nba,nb->na", OJl, r_w))
+
+    return D, O, bp, Hll, bl, W_e
+
+
+def _schur_solve_tridiag(g: LMGraphData, parts, lam):
+    """O(P) landmark-graph solve: the pose chain factorizes as a block
+    tridiagonal (tridiag_solve), landmark elimination enters as a
+    rank-2L Woodbury downdate. Replaces the dense (3P)^3 path when the
+    active window grows (long closure-free stretches, e.g. corridors --
+    the situation where g2o's sparse Cholesky also stays O(P)).
+
+    Math: after eliminating landmarks, S = T - V V^T with
+    V[:, 2l:2l+2] = W_l chol(Hll_l^-1); then
+    S^-1 b = T^-1 b + T^-1 V (I - V^T T^-1 V)^-1 V^T T^-1 b.
+    """
+    D, O, bp, Hll, bl, W_e = parts
+    P = g.poses.shape[0]
+    L = g.lms.shape[0]
+    dt = g.poses.dtype
+    pose_free = (g.pose_valid & (~g.pose_fixed)).astype(dt)
+    lm_free = g.lm_valid.astype(dt)
+    eye3 = jnp.eye(3, dtype=dt)
+    eye2 = jnp.eye(2, dtype=dt)
+    D = D + (lam * pose_free + (1.0 - pose_free))[:, None, None] * eye3
+    Hll = Hll + (lam * lm_free + (1.0 - lm_free))[:, None, None] * eye2
+    bp = bp * pose_free[:, None]
+    bl = bl * lm_free[:, None]
+    Hll_inv = jnp.linalg.inv(Hll)
+
+    # reduced rhs: b' = bp - W Hll^-1 bl (edge-wise scatter)
+    hb = jnp.einsum("lab,lb->la", Hll_inv, bl)  # (L,2)
+    bp_red = bp.at[g.obs_pose].add(
+        -jnp.einsum("nab,nb->na", W_e, hb[g.obs_lm])
+    )
+
+    # V = W blockdiag(chol(Hll^-1)): assemble dense (3P, 2L) in 2-D
+    R2 = _chol2(Hll_inv)  # (L,2,2)
+    WR = jnp.einsum("nab,nbc->nac", W_e, R2[g.obs_lm])  # (E,3,2)
+    V = jnp.zeros((3 * P, 2 * L), dt)
+    ar3 = jnp.arange(3)
+    ar2 = jnp.arange(2)
+    rows = (3 * g.obs_pose)[:, None] + ar3[None, :]
+    cols = (2 * g.obs_lm)[:, None] + ar2[None, :]
+    V = V.at[rows[:, :, None], cols[:, None, :]].add(WR)
+
+    rhs = jnp.concatenate(
+        [bp_red.reshape(3 * P, 1), V], axis=1
+    ).reshape(P, 3, 1 + 2 * L)
+    X = tridiag_solve(D, O, rhs).reshape(3 * P, 1 + 2 * L)
+    xb, XV = X[:, 0], X[:, 1:]
+    Mmat = jnp.eye(2 * L, dtype=dt) - V.T @ XV
+    wvec = jnp.linalg.solve(Mmat, V.T @ xb)
+    dp = (xb + XV @ wvec).reshape(P, 3)
+    dp = dp * pose_free[:, None]
+
+    # back-substitute landmarks: dl = Hll^-1 (bl - W^T dp)
+    wtdp = jnp.zeros((L, 2), dt)
+    wtdp = wtdp.at[g.obs_lm].add(
+        jnp.einsum("nab,na->nb", W_e, dp[g.obs_pose])
+    )
+    dl = jnp.einsum("lab,lb->la", Hll_inv, bl - wtdp)
+    dl = dl * lm_free[:, None]
+    return dp, dl, bp, bl
+
+
 def _lm_apply(g: LMGraphData, dp, dl) -> LMGraphData:
     poses = g.poses + dp
     poses = poses.at[:, 2].set(wrap_angle(poses[:, 2]))
@@ -320,7 +513,8 @@ def _lm_apply(g: LMGraphData, dp, dl) -> LMGraphData:
 
 @precise
 def optimize_landmark_graph(
-    g: LMGraphData, iterations: int = 15, tau: float = 1e-5
+    g: LMGraphData, iterations: int = 15, tau: float = 1e-5,
+    tridiag_threshold: int = 128,
 ):
     """Levenberg-Marquardt with g2o's damping schedule
     (OptimizationAlgorithmLevenberg): initial lambda = tau * max diag(H),
@@ -328,22 +522,39 @@ def optimize_landmark_graph(
     Replaces lm_graph.opt.optimize(15) (drone.cpp:146-156).
 
     Returns (g_optimized, chi2, dof).
+
+    Linear-solve path is chosen statically by window size: dense Schur
+    for small windows, block-tridiagonal + Woodbury (O(P)) for large
+    ones (long closure-free stretches).
     """
     chi2_0, dof = lm_graph_chi2(g)
+    use_tridiag = g.poses.shape[0] >= tridiag_threshold
 
-    Hpp0, _, Hll0, _, _ = _assemble_lm_system(g)
-    P = Hpp0.shape[0]
-    diag_max = jnp.maximum(
-        jnp.max(jnp.abs(jnp.diagonal(Hpp0[jnp.arange(P), jnp.arange(P)],
-                                     axis1=-2, axis2=-1))),
-        jnp.max(jnp.abs(jnp.diagonal(Hll0, axis1=-2, axis2=-1))),
-    )
+    if use_tridiag:
+        D0, _, _, Hll0t, _, _ = _lm_tridiag_assemble(g)
+        diag_max = jnp.maximum(
+            jnp.max(jnp.abs(jnp.diagonal(D0, axis1=-2, axis2=-1))),
+            jnp.max(jnp.abs(jnp.diagonal(Hll0t, axis1=-2, axis2=-1))),
+        )
+    else:
+        Hpp0, _, Hll0, _, _ = _assemble_lm_system(g)
+        P = Hpp0.shape[0]
+        diag_max = jnp.maximum(
+            jnp.max(jnp.abs(jnp.diagonal(Hpp0[jnp.arange(P), jnp.arange(P)],
+                                         axis1=-2, axis2=-1))),
+            jnp.max(jnp.abs(jnp.diagonal(Hll0, axis1=-2, axis2=-1))),
+        )
     lam0 = tau * diag_max
 
     def body(carry, _):
         g_cur, chi2_cur, lam, ni = carry
-        Hpp, bp, Hll, bl, Hpl_e = _assemble_lm_system(g_cur)
-        dp, dl = _schur_solve(g_cur, Hpp, bp, Hll, bl, Hpl_e, lam)
+        if use_tridiag:
+            parts = _lm_tridiag_assemble(g_cur)
+            bp, bl = parts[2], parts[4]
+            dp, dl, _, _ = _schur_solve_tridiag(g_cur, parts, lam)
+        else:
+            Hpp, bp, Hll, bl, Hpl_e = _assemble_lm_system(g_cur)
+            dp, dl = _schur_solve(g_cur, Hpp, bp, Hll, bl, Hpl_e, lam)
         g_new = _lm_apply(g_cur, dp, dl)
         chi2_new, _ = lm_graph_chi2(g_new)
         # gain ratio rho = (chi2_cur - chi2_new) / (d^T (lam d + b))

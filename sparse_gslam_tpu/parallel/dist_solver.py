@@ -403,10 +403,14 @@ def _vmapped_pieces(block_ids, bg: BlockedGraph, poses, prev_last, K):
 def optimize_pose_graph_sharded(
     bg: BlockedGraph, sg: SepGraph, phi, mesh, iterations: int = 20
 ):
-    """Multi-chip GN: one block per device along mesh axis 'blocks'.
+    """Multi-chip GN: blocks sharded over mesh axis 'blocks' (P must be
+    divisible by the mesh size; each device vmaps over its P/n local
+    blocks, so block granularity is independent of chip count).
 
-    Chain halo rides ppermute; Schur reduction rides psum -- ICI
-    collectives only (SURVEY.md §5 "distributed communication backend").
+    Chain halo rides ppermute (only each device's first local block
+    needs the previous device's boundary); the Schur reduction rides
+    psum -- ICI collectives only (SURVEY.md §5 "distributed
+    communication backend").
     """
     from jax.sharding import PartitionSpec as Ps
     from jax import shard_map
@@ -414,6 +418,9 @@ def optimize_pose_graph_sharded(
     P, M = bg.poses.shape[0], bg.poses.shape[1]
     S = sg.sep_valid.shape[0]
     axis = "blocks"
+    n_dev = mesh.shape[axis]
+    assert P % n_dev == 0, "n_blocks must be divisible by mesh size"
+    Pl = P // n_dev
 
     @functools.partial(
         shard_map,
@@ -429,36 +436,40 @@ def optimize_pose_graph_sharded(
         dt = blk_sh.poses.dtype
         my = jax.lax.axis_index(axis).astype(jnp.int32)
         K = blk_sh.loc_sep.shape[-1]
+        block_ids = my * Pl + jnp.arange(Pl, dtype=jnp.int32)
 
         def gn_iter(poses, _):
-            blk = jax.tree_util.tree_map(lambda x: x[0], blk_sh)._replace(
-                poses=poses
+            # halo: previous block's last pose. Local blocks i>0 take
+            # it from block i-1 on-device; local block 0 from the
+            # previous device via ppermute.
+            from_prev_dev = jax.lax.ppermute(
+                poses[-1, -1], axis,
+                [(i, (i + 1) % n_dev) for i in range(n_dev)],
             )
-            # halo: previous block's last pose
-            prev_last = jax.lax.ppermute(
-                poses[-1], axis,
-                [(i, (i + 1) % P) for i in range(P)],
+            from_prev_dev = jnp.where(
+                my > 0, from_prev_dev, jnp.zeros(3, dt)
             )
-            prev_last = jnp.where(my > 0, prev_last, jnp.zeros(3, dt))
+            prev_last = jnp.concatenate(
+                [from_prev_dev[None], poses[:-1, -1, :]], axis=0
+            )
             # replicated separator poses: scatter own, psum
-            sep_mine = (
-                (sg_rep.sep_pose_block == my) & sg_rep.sep_valid
-            )
+            own_dev = sg_rep.sep_pose_block // Pl == my
+            sep_mine = own_dev & sg_rep.sep_valid
             sep_poses = jnp.where(
                 sep_mine[:, None],
-                poses[sg_rep.sep_pose_off],
+                poses[sg_rep.sep_pose_block % Pl, sg_rep.sep_pose_off],
                 0.0,
             )
             sep_poses = jax.lax.psum(sep_poses, axis)
 
-            Sc, rc, Hss, bs, Y = _block_gn_pieces(
-                my, blk, prev_last, K
+            Sc, rc, Hss, bs, Y = _vmapped_pieces(
+                block_ids, blk_sh, poses, prev_last, K
             )
             # local (3K,3K) pieces scatter into the global separator
             # system, then psum-reduce across devices
             S_part, b_part = _locals_to_global(
                 jnp.zeros((3 * S, 3 * S), dt), jnp.zeros(3 * S, dt),
-                blk.loc_sep, Hss - Sc, bs - rc,
+                blk_sh.loc_sep, Hss - Sc, bs - rc,
             )
             Hss_tot = jax.lax.psum(S_part, axis)
             bs_tot = jax.lax.psum(b_part, axis)
@@ -471,14 +482,18 @@ def optimize_pose_graph_sharded(
             )
             rhs_s = jnp.where(sep_free, bs_c + bs_tot, 0.0)
             d_s = _eq_chol_solve(S_dense, rhs_s)
-            d_loc = _gather_local(d_s, blk.loc_sep)
-            new_poses = _apply_updates(poses, Y, d_loc, blk.sep_local)
+            d_loc = jax.vmap(lambda ls: _gather_local(d_s, ls))(
+                blk_sh.loc_sep
+            )
+            new_poses = jax.vmap(_apply_updates)(
+                poses, Y, d_loc, blk_sh.sep_local
+            )
             return new_poses, None
 
         poses, _ = jax.lax.scan(
-            gn_iter, blk_sh.poses[0], None, length=iterations
+            gn_iter, blk_sh.poses, None, length=iterations
         )
-        return poses[None]
+        return poses
 
     with jax.default_matmul_precision("highest"):
         return run(bg, sg)

@@ -53,13 +53,16 @@ def block_mesh(n_devices: int | None = None):
 
 
 def scaling_report(g, phi: float, device_counts=(1, 2, 4, 8),
-                   iterations: int = 20, reps: int = 3):
+                   iterations: int = 20, reps: int = 3,
+                   n_blocks: int = 128):
     """Measure pose-graph GN throughput at several mesh sizes (on a
     virtual CPU mesh when real chips are unavailable) and compute
     scaling efficiency -- the frames/s-efficiency metric of
     BASELINE.json config 5 specialized to the solver.
 
-    Returns {n_devices: iters_per_s}.
+    Block granularity is constant (n_blocks) across device counts so
+    the numeric work is identical and efficiency isolates collective +
+    distribution overhead. Returns {n_devices: iters_per_s}.
     """
     import time
 
@@ -69,10 +72,9 @@ def scaling_report(g, phi: float, device_counts=(1, 2, 4, 8),
 
     out = {}
     for n in device_counts:
-        if n > len(jax.devices()):
+        if n > len(jax.devices()) or n_blocks % n != 0:
             continue
         mesh = block_mesh(n)
-        n_blocks = max(n, 1)
         f = lambda: optimize_partitioned(
             g, phi, n_blocks=n_blocks, iterations=iterations, mesh=mesh
         )

@@ -247,3 +247,47 @@ class TestPoseGraphGN:
         )
         g_opt = f(g)
         assert np.isfinite(np.asarray(g_opt.poses)).all()
+
+
+class TestTridiagPath:
+    def test_tridiag_solve_matches_dense(self):
+        rng2 = np.random.default_rng(5)
+        P = 20
+        # random SPD block-tridiagonal system
+        D = np.zeros((P, 3, 3))
+        O = np.zeros((P, 3, 3))
+        for i in range(P):
+            a = rng2.normal(0, 1, (3, 3))
+            D[i] = a @ a.T + 4 * np.eye(3)
+            if i > 0:
+                O[i] = rng2.normal(0, 0.3, (3, 3))
+        H = np.zeros((3 * P, 3 * P))
+        for i in range(P):
+            H[3 * i : 3 * i + 3, 3 * i : 3 * i + 3] = D[i]
+            if i > 0:
+                H[3 * (i - 1) : 3 * i, 3 * i : 3 * i + 3] = O[i]
+                H[3 * i : 3 * i + 3, 3 * (i - 1) : 3 * i] = O[i].T
+        rhs = rng2.normal(0, 1, (P, 3, 4))
+        x = solvers.tridiag_solve(
+            jnp.array(D), jnp.array(O), jnp.array(rhs)
+        )
+        x_ref = np.linalg.solve(H, rhs.reshape(3 * P, 4))
+        np.testing.assert_allclose(
+            np.asarray(x).reshape(3 * P, 4), x_ref, atol=1e-9
+        )
+
+    def test_lm_tridiag_matches_dense_path(self):
+        g, gt_poses, gt_lms = make_lm_graph(P=16, L=8, E=64)
+        g_d, chi_d, _ = solvers.optimize_landmark_graph(
+            g, 10, tridiag_threshold=10**9
+        )
+        g_t, chi_t, _ = solvers.optimize_landmark_graph(
+            g, 10, tridiag_threshold=1
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_t.poses), np.asarray(g_d.poses), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_t.lms), np.asarray(g_d.lms), atol=1e-8
+        )
+        assert abs(float(chi_t) - float(chi_d)) < 1e-8
