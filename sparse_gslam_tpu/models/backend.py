@@ -259,6 +259,25 @@ class SubmapLoopCloser:
             return False
         score, pose, cov, sm = best
 
+        # optional match-case dump for scripts/submap_debug.py (the
+        # reference's submap_test.cpp debugging flow)
+        import os
+
+        if os.environ.get("SLAM_DUMP_MATCHES"):
+            dump_dir = os.environ.get("SLAM_DUMP_DIR", "/tmp/slam_matches")
+            os.makedirs(dump_dir, exist_ok=True)
+            np.savez_compressed(
+                os.path.join(
+                    dump_dir, f"match_{len(self.closures):03d}.npz"
+                ),
+                probs=np.asarray(sm.score_grid),
+                origin=np.asarray(sm.origin),
+                resolution=sm.resolution,
+                query=query,
+                init_theta=0.0,
+                score=score,
+            )
+
         # high-res refinement (ceres replacement)
         import jax.numpy as jnp
 
