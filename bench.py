@@ -69,6 +69,10 @@ def time_native(g, iterations=4):
 def main():
     import jax
 
+    from sparse_gslam_tpu.utils.jaxcache import enable as _enable_cache
+
+    _enable_cache()
+
     from sparse_gslam_tpu.eval.synthetic_graphs import make_chain_graph
 
     dev = jax.devices()[0]

@@ -48,6 +48,9 @@ def main(argv=None):
     import jax
 
     jax.config.update("jax_platforms", args.platform)
+    from .utils.jaxcache import enable as _enable_cache
+
+    _enable_cache()
     if args.platform == "cpu":
         jax.config.update("jax_enable_x64", True)
 

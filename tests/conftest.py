@@ -20,3 +20,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+from sparse_gslam_tpu.utils.jaxcache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
