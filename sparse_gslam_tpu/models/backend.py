@@ -52,6 +52,7 @@ class Submap:
 
     anchor_idx: int  # keyframe index of the anchoring pose
     score_grid: object  # (G,G) jnp: dilated level-0 score grid
+    pooled_grid: object  # (G,G) jnp: level-(depth-1) pooled bound grid
     origin: object  # (2,) jnp
     high_res: object  # (G2,G2) jnp probability grid
     high_origin: object
@@ -143,11 +144,13 @@ class SubmapLoopCloser:
         hi_grid = build_submap_grid(
             rd, self.high_spec, cfg.hit_probability, cfg.miss_probability
         )
-        pyr0 = precompute_pyramid(sm_grid.probs, 1)[0]
+        depth = max(1, cfg.branch_and_bound_depth)
+        pyr = precompute_pyramid(sm_grid.probs, depth)
         self.submaps.append(
             Submap(
                 anchor_idx=mid,
-                score_grid=pyr0,
+                score_grid=pyr[0],
+                pooled_grid=pyr[depth - 1],
                 origin=sm_grid.origin,
                 high_res=hi_grid.probs,
                 high_origin=hi_grid.origin,
@@ -239,25 +242,23 @@ class SubmapLoopCloser:
             )
         if not candidates:
             return False
-        # batched matchOne over all candidates (the ctpl-pool fan-out of
-        # submap_loop_closer.cpp:158-171 as one vmapped kernel call)
-        results = matching.match_submaps_batched(
+        # the ctpl-pool fan-out of submap_loop_closer.cpp:158-171 as
+        # exact upper-bound rotation pruning + batched FFT correlation
+        stride = 1 << (max(1, cfg.branch_and_bound_depth) - 1)
+        ci, score, pose, cov = matching.match_candidates_pruned(
             [c[0].score_grid for c in candidates],
-            [np.asarray(c[0].origin) for c in candidates],
+            [c[0].pooled_grid for c in candidates],
+            [c[0].origin for c in candidates],
             [c[1] for c in candidates],
             query,
             spec,
+            float(self.loop_closure_min_score),
+            stride,
         )
         self.match_calls += len(candidates)
-        best = None
-        for (sm, _), (score, pose, cov) in zip(candidates, results):
-            if score > self.loop_closure_min_score and (
-                best is None or score > best[0]
-            ):
-                best = (score, pose, cov, sm)
-        if best is None:
+        if ci is None:
             return False
-        score, pose, cov, sm = best
+        sm = candidates[ci][0]
 
         # optional match-case dump for scripts/submap_debug.py (the
         # reference's submap_test.cpp debugging flow)

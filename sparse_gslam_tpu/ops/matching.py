@@ -81,6 +81,58 @@ class MatchResult(NamedTuple):
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("n_linear", "size", "stride"),
+)
+def rotation_upper_bounds(
+    pooled_grid,  # (size, size) level-h pooled score grid (width 2^h+1)
+    grid_origin,
+    points,
+    point_valid,
+    thetas,  # (R,) candidate rotations
+    resolution: float,
+    n_linear: int,
+    size: int,
+    stride: int,  # 2^h
+):
+    """Per-rotation EXACT upper bound on the best achievable score:
+    max over the stride-lattice of mean pooled-grid lookups -- the
+    branch-and-bound root level (fast_correlative_scan_matcher_2d.cc
+    ComputeLowestResolutionCandidates). Rotations whose bound is below
+    min_score cannot contain the accepted match and are skipped by the
+    exhaustive FFT phase."""
+    c, s = jnp.cos(thetas), jnp.sin(thetas)
+    px = c[:, None] * points[None, :, 0] - s[:, None] * points[None, :, 1]
+    py = s[:, None] * points[None, :, 0] + c[:, None] * points[None, :, 1]
+    cx = jnp.floor((px - grid_origin[0]) / resolution).astype(jnp.int32)
+    cy = jnp.floor((py - grid_origin[1]) / resolution).astype(jnp.int32)
+    offs = jnp.arange(-n_linear, n_linear + 1, stride)
+    ox, oy = jnp.meshgrid(offs, offs, indexing="ij")
+    off_pairs = jnp.stack([ox.reshape(-1), oy.reshape(-1)], axis=1)
+    n_valid = jnp.maximum(jnp.sum(point_valid), 1)
+
+    def one_offset(best, off):
+        gx = cx + off[0]
+        gy = cy + off[1]
+        inb = (
+            point_valid[None, :]
+            & (gx >= 0) & (gx < size) & (gy >= 0) & (gy < size)
+        )
+        vals = pooled_grid[
+            jnp.clip(gx, 0, size - 1), jnp.clip(gy, 0, size - 1)
+        ]
+        vals = jnp.where(inb, vals, PMIN)
+        sc = jnp.sum(
+            jnp.where(point_valid[None, :], vals, 0.0), axis=-1
+        ) / n_valid
+        return jnp.maximum(best, sc), None
+
+    best0 = jnp.full(thetas.shape, -jnp.inf, pooled_grid.dtype)
+    best, _ = jax.lax.scan(one_offset, best0, off_pairs)
+    return best
+
+
+@functools.partial(
     jax.jit, static_argnames=("n_angular", "n_linear", "size", "fft_size")
 )
 def correlate_all(
@@ -106,6 +158,31 @@ def correlate_all(
     W = 2 * n_linear + 1
     ks = jnp.arange(R) - n_angular
     thetas = init_theta + ks * angular_step  # (R,)
+    scores = correlate_rotations(
+        score_grid, grid_origin, points, point_valid, thetas,
+        resolution, n_linear, size, fft_size,
+    )
+    del W
+    return scores, thetas
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_linear", "size", "fft_size")
+)
+def correlate_rotations(
+    score_grid,
+    grid_origin,
+    points,
+    point_valid,
+    thetas,  # (R,) explicit rotation set
+    resolution: float,
+    n_linear: int,
+    size: int,
+    fft_size: int,
+):
+    """Exhaustive translation scores for an explicit rotation set.
+    Returns (R, 2*n_linear+1, 2*n_linear+1)."""
+    R = thetas.shape[0]
     c, s = jnp.cos(thetas), jnp.sin(thetas)
     # rotate points: (R, N, 2)
     px = c[:, None] * points[None, :, 0] - s[:, None] * points[None, :, 1]
@@ -145,9 +222,76 @@ def correlate_all(
     # n_oob per rotation as a uniform correction)
     n_in = jnp.sum(inb, axis=1)  # (R,)
     corr = corr + (n_valid - n_in)[:, None, None] * PMIN
-    scores = corr / n_valid
-    del W
-    return scores, thetas
+    return corr / n_valid
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def window_cov(
+    score_grid,  # (size, size) level-0 (2x2 dilated) score grid
+    grid_origin,
+    points,
+    point_valid,
+    best_pose,  # (3,) [x, y, theta] best candidate (submap frame)
+    init_theta,
+    angular_step,
+    theta_lo,
+    theta_hi,
+    resolution: float,
+    size: int,
+):
+    """Score-moment covariance by direct re-scoring of the +-5 cell /
+    +-5 rotation window around the best candidate -- exactly the
+    reference's computation (fast_correlative_scan_matcher_2d.cc:
+    536-560, which also re-gathers the level-0 grid), decoupled from
+    the full score volume so rotation pruning stays exact."""
+    w = 5
+    di = jnp.arange(-w, w + 1)
+    thetas = jnp.clip(
+        best_pose[2] + di * angular_step, theta_lo, theta_hi
+    )  # (11,) rotation window clamped to the search range
+    c, s = jnp.cos(thetas), jnp.sin(thetas)
+    px = c[:, None] * points[None, :, 0] - s[:, None] * points[None, :, 1]
+    py = s[:, None] * points[None, :, 0] + c[:, None] * points[None, :, 1]
+    cx = jnp.floor(
+        (px + best_pose[0] - grid_origin[0]) / resolution
+    ).astype(jnp.int32)
+    cy = jnp.floor(
+        (py + best_pose[1] - grid_origin[1]) / resolution
+    ).astype(jnp.int32)
+    gx = cx[:, None, None, :] + di[None, :, None, None]
+    gy = cy[:, None, None, :] + di[None, None, :, None]
+    inb = (
+        point_valid[None, None, None, :]
+        & (gx >= 0) & (gx < size) & (gy >= 0) & (gy < size)
+    )
+    vals = jnp.where(
+        inb,
+        score_grid[jnp.clip(gx, 0, size - 1), jnp.clip(gy, 0, size - 1)],
+        PMIN,
+    )
+    n_valid = jnp.maximum(jnp.sum(point_valid), 1)
+    scores = jnp.sum(
+        jnp.where(point_valid[None, None, None, :], vals, 0.0), axis=-1
+    ) / n_valid  # (11k, 11x, 11y)
+
+    X = jnp.stack(
+        jnp.broadcast_arrays(
+            (best_pose[0] + di.astype(scores.dtype) * resolution)[
+                None, :, None
+            ],
+            (best_pose[1] + di.astype(scores.dtype) * resolution)[
+                None, None, :
+            ],
+            (thetas - init_theta)[:, None, None],
+        ),
+        axis=-1,
+    ).reshape(-1, 3)
+    sflat = scores.reshape(-1)
+    ssum = jnp.sum(sflat)
+    u = jnp.sum(X * sflat[:, None], axis=0)
+    K = jnp.einsum("ni,nj,n->ij", X, X, sflat)
+    inv_s = 1.0 / ssum
+    return inv_s * K - inv_s * inv_s * jnp.outer(u, u)
 
 
 @functools.partial(jax.jit, static_argnames=("n_linear",))
@@ -389,6 +533,99 @@ def match_submaps_batched(
         for k in range(len(gs)):
             out.append((float(s[k]), p[k], cv[k]))
     return out
+
+
+def match_candidates_pruned(
+    score_grids,  # list of level-0 (2x2 dilated) score grids
+    pooled_grids,  # list of level-h pooled grids (same shapes)
+    origins,
+    init_thetas,
+    points,  # (N, 2) numpy query returns
+    spec: SearchSpec,
+    min_score: float,
+    stride: int,
+    fft_margin_bucket: int = 128,
+):
+    """Candidate-submap matching with exact rotation pruning.
+
+    Phase 1 (cheap): per-candidate, per-rotation upper bounds from the
+    pooled grid kill every rotation that cannot reach min_score --
+    branch-and-bound's root-level pruning, vectorized. Phase 2: the
+    exhaustive FFT correlator runs only over surviving rotations
+    (bucketed). Phase 3: the winning candidate's covariance comes from
+    direct window re-scoring (window_cov). Returns
+    (best_idx or None, score, pose (3,), cov (3,3)).
+    """
+    import numpy as _np
+
+    size = score_grids[0].shape[0]
+    N = len(points)
+    n_bucket = 256
+    while n_bucket < N:
+        n_bucket *= 2
+    pts = jnp.asarray(
+        _np.concatenate(
+            [points.astype(_np.float32),
+             _np.zeros((n_bucket - N, 2), _np.float32)]
+        )
+    )
+    valid = jnp.asarray(_np.arange(n_bucket) < N)
+    fft_size = size + fft_margin_bucket
+    R_full = 2 * spec.n_angular + 1
+
+    best = None  # (score, cand_idx, theta, ox, oy)
+    for ci in range(len(score_grids)):
+        th0 = float(init_thetas[ci])
+        ks = _np.arange(R_full) - spec.n_angular
+        thetas_full = (th0 + ks * spec.angular_step).astype(_np.float32)
+        ub = _np.asarray(
+            rotation_upper_bounds(
+                pooled_grids[ci], origins[ci], pts, valid,
+                jnp.asarray(thetas_full), float(spec.resolution),
+                int(spec.n_linear), int(size), int(stride),
+            )
+        )
+        floor = max(min_score, best[0] if best else -1.0)
+        sel = _np.nonzero(ub > floor)[0]
+        if len(sel) == 0:
+            continue
+        Rb = 8
+        while Rb < len(sel):
+            Rb *= 2
+        sel_pad = _np.concatenate(
+            [sel, _np.full(Rb - len(sel), sel[0], _np.int64)]
+        )
+        scores = correlate_rotations(
+            score_grids[ci], origins[ci], pts, valid,
+            jnp.asarray(thetas_full[sel_pad]),
+            float(spec.resolution), int(spec.n_linear), int(size),
+            int(fft_size),
+        )
+        scores = _np.asarray(scores)
+        k, i, j = _np.unravel_index(_np.argmax(scores), scores.shape)
+        sc = float(scores[k, i, j])
+        if sc > floor:
+            best = (
+                sc, ci, float(thetas_full[sel_pad[k]]),
+                (int(i) - spec.n_linear) * spec.resolution,
+                (int(j) - spec.n_linear) * spec.resolution,
+            )
+    if best is None:
+        return None, 0.0, None, None
+    sc, ci, th, ox, oy = best
+    pose = _np.array([ox, oy, th])
+    th0 = float(init_thetas[ci])
+    cov = _np.asarray(
+        window_cov(
+            score_grids[ci], origins[ci], pts, valid,
+            jnp.asarray(pose, jnp.float32), jnp.float32(th0),
+            jnp.float32(spec.angular_step),
+            jnp.float32(th0 - spec.n_angular * spec.angular_step),
+            jnp.float32(th0 + spec.n_angular * spec.angular_step),
+            float(spec.resolution), int(size),
+        )
+    ).astype(_np.float64)
+    return ci, sc, pose, cov
 
 
 # ---------------------------------------------------------------------------
