@@ -133,6 +133,33 @@ def rotation_upper_bounds(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("n_linear", "size", "stride"),
+)
+def rotation_upper_bounds_batch(
+    pooled_grids,  # (C, size, size)
+    origins,  # (C, 2)
+    thetas,  # (C, R)
+    points,
+    point_valid,
+    resolution: float,
+    n_linear: int,
+    size: int,
+    stride: int,
+):
+    """vmapped rotation_upper_bounds over candidate submaps: one device
+    round-trip for the whole candidate set."""
+
+    def one(grid, origin, th):
+        return rotation_upper_bounds(
+            grid, origin, points, point_valid, th, resolution,
+            n_linear, size, stride,
+        )
+
+    return jax.vmap(one)(pooled_grids, origins, thetas)
+
+
+@functools.partial(
     jax.jit, static_argnames=("n_angular", "n_linear", "size", "fft_size")
 )
 def correlate_all(
@@ -573,18 +600,45 @@ def match_candidates_pruned(
     fft_size = size + fft_margin_bucket
     R_full = 2 * spec.n_angular + 1
 
-    best = None  # (score, cand_idx, theta, ox, oy)
-    for ci in range(len(score_grids)):
-        th0 = float(init_thetas[ci])
-        ks = _np.arange(R_full) - spec.n_angular
-        thetas_full = (th0 + ks * spec.angular_step).astype(_np.float32)
-        ub = _np.asarray(
-            rotation_upper_bounds(
-                pooled_grids[ci], origins[ci], pts, valid,
-                jnp.asarray(thetas_full), float(spec.resolution),
+    # phase 1: per-rotation upper bounds for ALL candidates, batched in
+    # pow2 chunks (one device round-trip per chunk)
+    C = len(score_grids)
+    ks = _np.arange(R_full) - spec.n_angular
+    all_thetas = _np.stack(
+        [
+            (float(t0) + ks * spec.angular_step).astype(_np.float32)
+            for t0 in init_thetas
+        ]
+    )
+    ubs = _np.zeros((C, R_full), _np.float32)
+    c0 = 0
+    while c0 < C:
+        csize = 1
+        while csize < min(16, C - c0):
+            csize *= 2
+        idxs = list(range(c0, min(c0 + csize, C)))
+        pad = csize - len(idxs)
+        sel_idx = idxs + [idxs[0]] * pad
+        got = _np.asarray(
+            rotation_upper_bounds_batch(
+                jnp.stack([pooled_grids[k] for k in sel_idx]),
+                jnp.stack([jnp.asarray(origins[k]) for k in sel_idx]),
+                jnp.asarray(all_thetas[sel_idx]),
+                pts, valid, float(spec.resolution),
                 int(spec.n_linear), int(size), int(stride),
             )
         )
+        ubs[idxs] = got[: len(idxs)]
+        c0 += csize
+
+    # order candidates by best bound so the running-best floor prunes
+    # later candidates harder
+    order = _np.argsort(ubs.max(axis=1))[::-1]
+    best = None  # (score, cand_idx, theta, ox, oy)
+    for ci in order:
+        ci = int(ci)
+        thetas_full = all_thetas[ci]
+        ub = ubs[ci]
         floor = max(min_score, best[0] if best else -1.0)
         sel = _np.nonzero(ub > floor)[0]
         if len(sel) == 0:

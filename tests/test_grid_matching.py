@@ -236,3 +236,77 @@ class TestMatching:
         step = (1 - 1e-3) * math.acos(1 - 0.1**2 / (2 * 49.0))
         assert abs(s.angular_step - step) < 1e-12
         assert s.n_angular >= math.ceil(1.0 / step)
+
+
+class TestPrunedMatching:
+    def test_pruned_matches_full_search(self):
+        """Rotation pruning must be exact: same accepted match as the
+        full FFT over every rotation."""
+        sm, pyr = TestMatching()._setup()
+        import jax.numpy as jnp
+        from sparse_gslam_tpu.ops.grid import precompute_pyramid
+
+        pyr5 = precompute_pyramid(sm.probs, 5)
+        gt = np.array([0.4, -0.3, 0.1])
+        base = np.concatenate(
+            [
+                np.column_stack([np.full(50, 4.0), np.linspace(-0.5, 2.5, 50)]),
+                np.column_stack([np.linspace(0.0, 2.0, 40), np.full(40, -1.0)]),
+            ]
+        )
+        query = se2.apply(se2.inverse(gt), base)
+        spec = matching.search_spec(2.0, 0.6, 8.0, 0.1)
+        # full exhaustive
+        s_full, p_full, _ = matching.match_submap(
+            pyr5[0], sm.origin, 0.1, query, 0.0, spec
+        )
+        # pruned
+        ci, s_pr, p_pr, cov = matching.match_candidates_pruned(
+            [pyr5[0]], [pyr5[4]], [sm.origin], [0.0], query, spec,
+            min_score=0.5, stride=16,
+        )
+        assert ci == 0
+        assert abs(s_pr - s_full) < 1e-4
+        np.testing.assert_allclose(p_pr, p_full, atol=1e-6)
+        assert np.isfinite(cov).all()
+
+    def test_pruned_rejects_below_min_score(self):
+        sm, pyr = TestMatching()._setup()
+        from sparse_gslam_tpu.ops.grid import precompute_pyramid
+
+        pyr5 = precompute_pyramid(sm.probs, 5)
+        # garbage query far outside the mapped area
+        query = np.random.default_rng(0).uniform(40, 60, (64, 2))
+        spec = matching.search_spec(2.0, 0.6, 8.0, 0.1)
+        ci, s, p, cov = matching.match_candidates_pruned(
+            [pyr5[0]], [pyr5[4]], [sm.origin], [0.0], query, spec,
+            min_score=0.7, stride=16,
+        )
+        assert ci is None
+
+    def test_upper_bound_dominates_scores(self):
+        sm, pyr = TestMatching()._setup()
+        import jax.numpy as jnp
+        from sparse_gslam_tpu.ops.grid import precompute_pyramid
+
+        pyr5 = precompute_pyramid(sm.probs, 5)
+        pts = np.column_stack([np.full(40, 4.0), np.linspace(-0.5, 2.5, 40)])
+        N = 64
+        ptsb = np.zeros((N, 2), np.float32)
+        ptsb[: len(pts)] = pts
+        valid = np.arange(N) < len(pts)
+        thetas = np.linspace(-0.3, 0.3, 16).astype(np.float32)
+        ub = np.asarray(
+            matching.rotation_upper_bounds(
+                pyr5[4], sm.origin, jnp.asarray(ptsb), jnp.asarray(valid),
+                jnp.asarray(thetas), 0.1, 20, 128, 16,
+            )
+        )
+        scores = np.asarray(
+            matching.correlate_rotations(
+                pyr5[0], sm.origin, jnp.asarray(ptsb), jnp.asarray(valid),
+                jnp.asarray(thetas), 0.1, 20, 128, 256,
+            )
+        )
+        # every true score must be bounded by its rotation's upper bound
+        assert np.all(scores.max(axis=(1, 2)) <= ub + 1e-5)
