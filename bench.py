@@ -71,7 +71,7 @@ def main():
 
     from sparse_gslam_tpu.utils.jaxcache import enable as _enable_cache
 
-    _enable_cache()
+    _enable_cache(tag="tpu")
 
     from sparse_gslam_tpu.eval.synthetic_graphs import make_chain_graph
 

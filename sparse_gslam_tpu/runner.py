@@ -50,7 +50,7 @@ def main(argv=None):
     jax.config.update("jax_platforms", args.platform)
     from .utils.jaxcache import enable as _enable_cache
 
-    _enable_cache()
+    _enable_cache(tag=args.platform)
     if args.platform == "cpu":
         jax.config.update("jax_enable_x64", True)
 

@@ -9,12 +9,19 @@ from __future__ import annotations
 import os
 
 
-def enable(cache_dir: str | None = None) -> None:
+def enable(cache_dir: str | None = None, tag: str = "") -> None:
+    """tag should identify the platform (e.g. "cpu", "axon"): cache
+    entries are machine-code artifacts and must not be shared between
+    the local CPU and the remote-compile TPU tunnel (whose host CPU has
+    different ISA features -- loading its XLA:CPU AOT blobs locally can
+    SIGILL)."""
     import jax
 
     d = cache_dir or os.environ.get(
         "SLAM_JAX_CACHE", os.path.expanduser("~/.cache/sparse_gslam_jax")
     )
+    if tag:
+        d = f"{d}-{tag}"
     os.makedirs(d, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", d)

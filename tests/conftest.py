@@ -23,4 +23,4 @@ jax.config.update("jax_enable_x64", True)
 
 from sparse_gslam_tpu.utils.jaxcache import enable as _enable_cache  # noqa: E402
 
-_enable_cache()
+_enable_cache(tag="cpu")
