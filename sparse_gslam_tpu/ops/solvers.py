@@ -119,26 +119,52 @@ def rhotheta_edge_residual(pose, lm, z):
     return jnp.stack([e[..., 0], wrap_angle(e[..., 1])], axis=-1)
 
 
-def _rhotheta_single(args):
-    pose, lm, z = args
-    return rhotheta_edge_residual(pose, lm, z)
-
-
-_rhotheta_jac = jax.vmap(
-    jax.jacfwd(lambda pose, lm, z: rhotheta_edge_residual(pose, lm, z),
-               argnums=(0, 1)),
-    in_axes=(0, 0, 0),
-)
-
-
 def rhotheta_edge_jacobians(poses, lms, zs):
-    """(E,2,3) d e/d pose and (E,2,2) d e/d lm via forward-mode AD.
+    """Closed-form (E,2,3) d e/d pose and (E,2,2) d e/d lm.
 
-    The residual contains wrap/flip branches; jacfwd differentiates the
-    taken branch, matching g2o's numeric-diff behavior away from the
-    measure-zero discontinuity.
+    Derivation: with c,s = cos/sin(theta_p), inv_t = (-(c x + s y),
+    s x - c y), theta_raw = theta_l - theta_p, n = (cos, sin)(theta_raw)
+    and rho_raw = rho_l + inv_t.n, the prediction is (sigma*rho_raw,
+    theta_raw [+pi]) where sigma = -1 on the rho<0 normalization flip
+    (check_rhotheta) -- the branch is differentiated as taken, matching
+    forward-mode AD of the residual (validated in tests); closed form
+    keeps the per-iteration HLO ~3x smaller than vmapped jacfwd, which
+    matters for the remote-compile path.
     """
-    return _rhotheta_jac(poses, lms, zs)
+    dt = poses.dtype
+    c, s = jnp.cos(poses[..., 2]), jnp.sin(poses[..., 2])
+    x, y = poses[..., 0], poses[..., 1]
+    itx = -(c * x + s * y)
+    ity = s * x - c * y
+    theta_raw = wrap_angle(lms[..., 1] - poses[..., 2])
+    nx, ny = jnp.cos(theta_raw), jnp.sin(theta_raw)
+    rho_raw = lms[..., 0] + itx * nx + ity * ny
+    sigma = jnp.where(rho_raw < 0, -1.0, 1.0).astype(dt)
+
+    # d rho_raw / d {x, y, theta_l}; d rho_raw / d theta_p == 0 exactly
+    # (body-frame rho is the distance from the robot position to the
+    # world line -- rotation-invariant)
+    dr_dx = -c * nx + s * ny  # = -cos(theta_l)
+    dr_dy = -s * nx - c * ny  # = -sin(theta_l)
+    dr_dthl = -itx * ny + ity * nx  # inv_t . dn/dtheta_raw
+
+    o = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+    Jp = jnp.stack(
+        [
+            jnp.stack([-sigma * dr_dx, -sigma * dr_dy, o], axis=-1),
+            jnp.stack([o, o, one], axis=-1),
+        ],
+        axis=-2,
+    )
+    Jl = jnp.stack(
+        [
+            jnp.stack([-sigma, -sigma * dr_dthl], axis=-1),
+            jnp.stack([o, -one], axis=-1),
+        ],
+        axis=-2,
+    )
+    return Jp, Jl
 
 
 # ---------------------------------------------------------------------------

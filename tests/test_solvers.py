@@ -291,3 +291,27 @@ class TestTridiagPath:
             np.asarray(g_t.lms), np.asarray(g_d.lms), atol=1e-8
         )
         assert abs(float(chi_t) - float(chi_d)) < 1e-8
+
+
+class TestRhoThetaJacobians:
+    def test_closed_form_matches_autodiff(self):
+        r = np.random.default_rng(9)
+        n = 200
+        poses = np.stack(
+            [r.uniform(-5, 5, n), r.uniform(-5, 5, n),
+             r.uniform(-np.pi, np.pi, n)], 1
+        )
+        lms = np.stack(
+            [r.uniform(0.1, 8, n), r.uniform(-np.pi, np.pi, n)], 1
+        )
+        zs = np.stack(
+            [r.uniform(0.1, 8, n), r.uniform(-np.pi, np.pi, n)], 1
+        )
+        Jp, Jl = solvers.rhotheta_edge_jacobians(
+            jnp.array(poses), jnp.array(lms), jnp.array(zs)
+        )
+        jac = jax.vmap(
+            jax.jacfwd(solvers.rhotheta_edge_residual, argnums=(0, 1))
+        )(jnp.array(poses), jnp.array(lms), jnp.array(zs))
+        np.testing.assert_allclose(Jp, jac[0], atol=1e-10)
+        np.testing.assert_allclose(Jl, jac[1], atol=1e-10)
