@@ -236,7 +236,21 @@ def _block_system(
         Hss_mat, jnp.where(putAB, sB, -1), jnp.where(putAB, sA, -1),
         jnp.swapaxes(Hij, -1, -2),
     )
-    return A, b_i.reshape(3 * M), His_mat, Hss_mat, b_s.reshape(3 * S)
+    # block-tridiagonal view of the same interior system (used by the
+    # O(M) LDL solve path; XLA dead-code-eliminates whichever of A /
+    # (Db, Ob) the caller does not consume)
+    eye = jnp.eye(3, dtype=dt)
+    Db = eye * jnp.where(interior, dt.type(1e-12), dt.type(1.0))[
+        :, None, None
+    ]
+    Db = Db.at[mA].add(jnp.where(intA[:, None, None], Hii, 0.0))
+    Db = Db.at[m_idx].add(jnp.where(intB[:, None, None], Hjj, 0.0))
+    Ob = jnp.where(both[:, None, None], Hij, 0.0)  # Ob[m] at (m-1, m)
+
+    return (
+        A, Db, Ob, b_i.reshape(3 * M), His_mat, Hss_mat,
+        b_s.reshape(3 * S),
+    )
 
 
 def _closure_system(sep_poses, sg: SepGraph, phi, S):
@@ -269,20 +283,44 @@ def _closure_system(sep_poses, sg: SepGraph, phi, S):
     return Hss, b_s.reshape(3 * S)
 
 
+INTERIOR_SOLVE = "tridiag"  # "tridiag" (O(M) LDL) or "dense" (Cholesky)
+
+
 def _block_gn_pieces(block_idx, blk, prev_last_pose, S):
     """Local factorization + Schur pieces for one block.
 
     Returns (S_contrib (3S,3S), rhs_contrib (3S,), Hss_part, bs_part,
     Y (3M, 1+3S) solved columns) -- Y is carried to back-substitution.
+
+    The interior solve is either a dense equilibrated Cholesky or the
+    O(M) block-tridiagonal LDL (ops.solvers.tridiag_solve) -- the
+    interior matrix IS block-tridiagonal, so both are exact; the LDL
+    path does ~M times less work per block.
     """
-    A, b_i, His, Hss, b_s = _block_system(
+    from ..ops.solvers import tridiag_solve
+
+    A, Db, Ob, b_i, His, Hss, b_s = _block_system(
         block_idx, blk.poses, blk.valid, blk.fixed, blk.chain_meas,
         blk.chain_info, blk.chain_valid, blk.sep_local, prev_last_pose, S,
     )
-    # equilibrated solve: chain normal matrices are badly conditioned
-    # for float32 Cholesky at production block sizes
     rhs = jnp.concatenate([b_i[:, None], His.T], axis=1)  # (3M, 1+3K)
-    Y = _eq_chol_solve(A, rhs)
+    if INTERIOR_SOLVE == "tridiag":
+        M = Db.shape[0]
+        # row-wise Jacobi equilibration for f32 stability
+        d = jnp.clip(
+            jnp.diagonal(Db, axis1=-2, axis2=-1), 1e-20, None
+        )  # (M,3)
+        sdiag = jax.lax.rsqrt(d)
+        Ds = Db * sdiag[:, :, None] * sdiag[:, None, :]
+        s_prev = jnp.concatenate([sdiag[:1], sdiag[:-1]], axis=0)
+        Os = Ob * s_prev[:, :, None] * sdiag[:, None, :]
+        R = rhs.shape[1]
+        rhs_s = rhs.reshape(M, 3, R) * sdiag[:, :, None]
+        Y = (tridiag_solve(Ds, Os, rhs_s) * sdiag[:, :, None]).reshape(
+            3 * M, R
+        )
+    else:
+        Y = _eq_chol_solve(A, rhs)
     S_contrib = His @ Y[:, 1:]  # (3K, 3K)
     rhs_contrib = His @ Y[:, 0]  # (3K,)
     return S_contrib, rhs_contrib, Hss, b_s, Y
