@@ -205,7 +205,13 @@ def build_submap_grid(
         i = e_
     origins_pad = np.zeros((S_pad, 2), np.float32)
     origins_pad[:S] = origins
-    probs = insert_rays(
+    import os
+
+    if os.environ.get("SLAM_PALLAS_INSERT"):
+        from .grid_pallas import insert_rays_pallas as _insert
+    else:
+        _insert = insert_rays
+    probs = _insert(
         jnp.zeros((spec.size, spec.size), jnp.float32),
         jnp.asarray(origin, jnp.float32),
         jnp.asarray(origins_pad),

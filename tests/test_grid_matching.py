@@ -310,3 +310,27 @@ class TestPrunedMatching:
         )
         # every true score must be bounded by its rotation's upper bound
         assert np.all(scores.max(axis=(1, 2)) <= ub + 1e-5)
+
+
+class TestPallasInsert:
+    def test_matches_xla_insert(self):
+        """Pallas ray-insertion kernel (interpret mode) must reproduce
+        the XLA scatter path bit-for-bit."""
+        from sparse_gslam_tpu.ops.grid import insert_rays
+        from sparse_gslam_tpu.ops.grid_pallas import insert_rays_pallas
+
+        rng = np.random.default_rng(3)
+        S, B, G = 8, 8, 64
+        origins = rng.uniform(1.5, 4.5, (S, 2)).astype(np.float32)
+        pts = (
+            origins[:, None, :] + rng.uniform(-1.6, 1.6, (S, B, 2))
+        ).astype(np.float32)
+        kind = rng.integers(0, 3, (S, B)).astype(np.int8)
+        args = (
+            jnp.zeros((G, G), jnp.float32), jnp.zeros(2, jnp.float32),
+            jnp.asarray(origins), jnp.asarray(pts), jnp.asarray(kind),
+            jnp.asarray([0.7, 0.4], jnp.float32), 0.1, 24, G,
+        )
+        ref = np.asarray(insert_rays(*args))
+        pal = np.asarray(insert_rays_pallas(*args, interpret=True))
+        np.testing.assert_array_equal(ref, pal)
