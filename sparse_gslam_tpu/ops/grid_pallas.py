@@ -10,10 +10,15 @@ an update-marker plane (the Cartographer kUpdateMarker idea:
 probability_values.h) so each cell updates at most once per scan with
 hits beating misses.
 
-Semantically identical to ops.grid.insert_rays (asserted by tests in
-interpret mode and on hardware); this version avoids materializing the
-per-scan hit/miss masks and the XLA scatter round trips -- the whole
-insertion is one kernel launch with the grid in VMEM.
+Semantically identical to ops.grid.insert_rays (asserted bit-exact by
+tests in interpret mode); avoids materializing the per-scan hit/miss
+masks and the XLA scatter round trips -- the whole insertion is one
+kernel launch with the grid in VMEM.
+
+Status: opt-in via SLAM_PALLAS_INSERT=1. This environment's hosted
+remote-compile helper currently returns HTTP 500 for pallas kernels
+(including trivial ones), so on-hardware validation is pending real
+TPU access; the XLA path remains the default.
 """
 from __future__ import annotations
 
@@ -32,7 +37,7 @@ def _insert_kernel(
     hm_ref,  # (1, 2) [hit_p, miss_p] SMEM
     origin_ref,  # (1, 2) grid origin SMEM
     res_ref,  # (1, 1) resolution SMEM
-    scan_origin_ref,  # (1, 2) this scan's ray origin
+    scan_origin_ref,  # (S, 2) all scan origins (SMEM, indexed by scan)
     pts_ref,  # (B, 2) endpoints (VMEM)
     kind_ref,  # (B, 1) int32 0=invalid 1=hit 2=miss (VMEM)
     probs_ref,  # (G, G) in/out (VMEM, aliased)
@@ -48,8 +53,8 @@ def _insert_kernel(
     inv_res = 1.0 / res_ref[0, 0]
     ox = origin_ref[0, 0]
     oy = origin_ref[0, 1]
-    sx = scan_origin_ref[0, 0]
-    sy = scan_origin_ref[0, 1]
+    sx = scan_origin_ref[scan_idx, 0]
+    sy = scan_origin_ref[scan_idx, 1]
     marker = scan_idx + 1  # 0 = untouched
 
     def update_cell(cx, cy, obs_p, is_hit):
@@ -62,17 +67,21 @@ def _insert_kernel(
         def _():
             cxi = jnp.clip(cx, 0, size - 1)
             cyi = jnp.clip(cy, 0, size - 1)
-            seen = marker_ref[cxi, cyi] == marker
+            seen = marker_ref[pl.ds(cxi, 1), pl.ds(cyi, 1)][0, 0] == marker
 
             @pl.when(jnp.logical_not(seen))
             def _():
-                p = probs_ref[cxi, cyi]
+                p = probs_ref[pl.ds(cxi, 1), pl.ds(cyi, 1)][0, 0]
                 known = p > 0.0
                 p_eff = jnp.where(known, p, 0.5)
                 odds = (obs_p / (1.0 - obs_p)) * (p_eff / (1.0 - p_eff))
                 newp = jnp.clip(odds / (1.0 + odds), PMIN, PMAX)
-                probs_ref[cxi, cyi] = jnp.where(known, newp, obs_p)
-                marker_ref[cxi, cyi] = marker
+                out = jnp.where(known, newp, obs_p)
+                # Mosaic forbids scalar VMEM stores; write (1,1) slices
+                probs_ref[pl.ds(cxi, 1), pl.ds(cyi, 1)] = out.reshape(1, 1)
+                marker_ref[pl.ds(cxi, 1), pl.ds(cyi, 1)] = jnp.full(
+                    (1, 1), marker, jnp.int32
+                )
 
         del is_hit
 
@@ -147,7 +156,7 @@ def insert_rays_pallas(
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, B, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0),
