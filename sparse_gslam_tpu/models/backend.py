@@ -185,14 +185,38 @@ class SubmapLoopCloser:
         return map_pose
 
     # --------------------------------------------------------------------
-    def match(self) -> bool:
+    def match(self, lock=None) -> bool:
         """Find + apply one loop closure (submap_loop_closer.cpp:118-297).
-        Returns True if a closure was accepted."""
+        Returns True if a closure was accepted.
+
+        lock: optional mutex guarding frontend state (the realtime
+        mode's concurrent-frontend case). Like the reference's
+        shared-lock discipline (submap_loop_closer.cpp:122-157), state
+        is snapshotted under the lock, the expensive candidate matching
+        runs unlocked, and the apply phase re-locks.
+        """
+        import contextlib
+
+        guard = lock if lock is not None else contextlib.nullcontext()
+        with guard:
+            snap = self._match_snapshot()
+        if snap is None:
+            return False
+        result = self._match_search(snap)  # expensive; runs unlocked
+        if result is None:
+            return False
+        with guard:
+            self._match_apply(snap, result)
+        return True
+
+    def _match_snapshot(self):
+        """Under-lock phase: build the query multiscan + candidate set
+        (deep copies / device arrays, submap_loop_closer.cpp:122-157)."""
         cfg = self.config
         kfs = self.frontend.keyframes
         n = len(kfs)
         if n <= 2 or len(self.submaps) <= cfg.last_submap_not_match:
-            return False
+            return None
         self._ensure_pg_init()
         est = self.frontend.estimates()
 
@@ -203,20 +227,20 @@ class SubmapLoopCloser:
             traj_len += float(np.linalg.norm(est[i + 1, :2] - est[i, :2]))
             if traj_len >= cfg.last_traj_length / 2 and mid == -1:
                 if i - self.last_opt_pose_index < 2:
-                    return False
+                    return None
                 mid = i
             if traj_len >= cfg.last_traj_length:
                 break
             i -= 1
         i = max(i, 0)
         if mid < 0:
-            return False
+            return None
 
         query = construct_multicloud(
             [k.data for k in kfs], est, i, mid, n, returns_only=True
         )
         if len(query) == 0:
-            return False
+            return None
         map_pose = self._map_transforms()
         bl_trans = map_pose(mid)
 
@@ -241,7 +265,15 @@ class SubmapLoopCloser:
                 (sm, float(se2.wrap_angle(bl_trans[2] - anchor[2])))
             )
         if not candidates:
-            return False
+            return None
+        return dict(query=query, spec=spec, candidates=candidates, mid=mid)
+
+    def _match_search(self, snap):
+        """Unlocked phase: candidate matching + high-res refinement."""
+        cfg = self.config
+        query = snap["query"]
+        spec = snap["spec"]
+        candidates = snap["candidates"]
         # the ctpl-pool fan-out of submap_loop_closer.cpp:158-171 as
         # exact upper-bound rotation pruning + batched FFT correlation
         stride = 1 << (max(1, cfg.branch_and_bound_depth) - 1)
@@ -257,7 +289,7 @@ class SubmapLoopCloser:
         )
         self.match_calls += len(candidates)
         if ci is None:
-            return False
+            return None
         sm = candidates[ci][0]
 
         # optional match-case dump for scripts/submap_debug.py (the
@@ -292,8 +324,21 @@ class SubmapLoopCloser:
                 jnp.asarray(valid), jnp.asarray(pose, dtype=jnp.float32),
             )
         ).astype(np.float64)
+        return dict(sm=sm, refined=refined, cov=cov)
 
-        # extend the pose-graph chain (submap_loop_closer.cpp:204-225)
+    def _match_apply(self, snap, result):
+        """Under-lock phase: extend the pose-graph chain with the
+        CURRENT keyframes (the frontend may have grown during the
+        unlocked search, exactly like the reference re-reading
+        lm_graph.poses at apply time, submap_loop_closer.cpp:204-225),
+        prune the landmark-graph window, add the DCS closure edge and
+        optimize."""
+        sm = result["sm"]
+        mid = snap["mid"]
+        kfs = self.frontend.keyframes
+        est = self.frontend.estimates()
+        n = len(kfs)
+
         lo = self.last_opt_pose_index
         for idx in range(lo, n):
             meas = se2.relative(est[idx - 1], est[idx])
@@ -314,12 +359,11 @@ class SubmapLoopCloser:
             Closure(
                 i=sm.anchor_idx,
                 j=mid,
-                meas=refined,
-                info=np.linalg.inv(cov),
+                meas=result["refined"],
+                info=np.linalg.inv(result["cov"]),
             )
         )
         self.optimize(iterations=20)
-        return True
 
     # --------------------------------------------------------------------
     def _build_pg_data(self):

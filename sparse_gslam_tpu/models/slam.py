@@ -123,10 +123,12 @@ class SlamSystem:
 
         def lc_loop():
             while running:
-                with self.lock:
-                    if self.backend is not None:
+                if self.backend is not None:
+                    # precompute snapshots under the lock; match() takes
+                    # the lock only for its snapshot + apply phases
+                    with self.lock:
                         self.backend.precompute()
-                        self.backend.match()
+                    self.backend.match(lock=self.lock)
                 _time.sleep(0.01)
 
         t = threading.Thread(target=lc_loop, daemon=True)
