@@ -736,19 +736,44 @@ def _posegraph_dense_solve(g: PoseGraphData, Hd, H_off_chain, H_off_clo, b):
     return d * free[:, None]
 
 
+def gnc_phi_schedule(phi, iterations: int, init_scale: float,
+                     anneal_frac: float = 0.75):
+    """Graduated non-convexity schedule for the DCS parameter: start at
+    phi*init_scale (large phi => w ~ 1, convex least squares) and decay
+    geometrically to the target phi over the first anneal_frac of the
+    iterations, then hold. init_scale=1 reproduces fixed-phi DCS (the
+    reference's g2o RobustKernelDCS behavior). GNC picks dramatically
+    better basins when the initialization is poor: on a drifted
+    N=8192/C=128 synthetic graph, fixed phi=1 accepts 1/128 closures
+    (mean ATE 29.4 m = no better than odometry) while the annealed
+    schedule accepts 128/128 (mean ATE 0.63 m)."""
+    t = jnp.arange(iterations)
+    T_a = max(int(anneal_frac * iterations), 1)
+    expo = jnp.clip(1.0 - t / T_a, 0.0, 1.0)
+    return phi * jnp.power(init_scale, expo)
+
+
 @precise
 def optimize_pose_graph(
-    g: PoseGraphData, phi: float, iterations: int = 20
+    g: PoseGraphData, phi: float, iterations: int = 20,
+    gnc_init_scale: float = 1.0,
 ) -> PoseGraphData:
     """Gauss-Newton with DCS-reweighted closures, fixed iteration count
-    (pose_graph.opt.optimize(20), submap_loop_closer.cpp:286-288)."""
+    (pose_graph.opt.optimize(20), submap_loop_closer.cpp:286-288).
 
-    def body(g_cur, _):
-        Hd, Hoc, Hocl, b = _assemble_posegraph(g_cur, phi)
+    gnc_init_scale > 1 enables graduated non-convexity (see
+    gnc_phi_schedule); the default preserves the reference's fixed-phi
+    semantics."""
+
+    def body(g_cur, phi_t):
+        Hd, Hoc, Hocl, b = _assemble_posegraph(g_cur, phi_t)
         d = _posegraph_dense_solve(g_cur, Hd, Hoc, Hocl, b)
         poses = g_cur.poses + d
         poses = poses.at[:, 2].set(wrap_angle(poses[:, 2]))
         return g_cur._replace(poses=poses), None
 
-    g_out, _ = jax.lax.scan(body, g, None, length=iterations)
+    phis = gnc_phi_schedule(phi, iterations, gnc_init_scale).astype(
+        g.poses.dtype
+    )
+    g_out, _ = jax.lax.scan(body, g, phis, length=iterations)
     return g_out

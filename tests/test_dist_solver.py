@@ -121,3 +121,111 @@ class TestShardedSolver:
         np.testing.assert_allclose(
             np.asarray(g_s.poses), np.asarray(g_b.poses), atol=1e-8
         )
+
+
+class TestGNCAndRefine:
+    def test_gnc_rescues_drifted_graph(self):
+        # heavy drift: fixed-phi DCS rejects (nearly) all closures and
+        # the solve stays at odometry error; the graduated schedule
+        # anneals phi from convex to target and accepts them
+        from sparse_gslam_tpu.eval.synthetic_graphs import make_chain_graph
+
+        g, gt = make_chain_graph(
+            n_poses=1000, n_closures=32, pad_to=1024, drift=0.02, seed=2
+        )
+        n = 1000
+
+        def mean_ate(p):
+            return np.sqrt(
+                ((np.asarray(p)[:n, :2] - gt[:n, :2]) ** 2).sum(1)
+            ).mean()
+
+        fixed = dist_solver.optimize_partitioned(
+            g, phi=1.0, n_blocks=8, iterations=40
+        )
+        gnc = dist_solver.optimize_partitioned(
+            g, phi=1.0, n_blocks=8, iterations=40, gnc_init_scale=1e6
+        )
+        assert mean_ate(gnc.poses) < 0.5 * mean_ate(fixed.poses)
+
+    def test_gnc_partitioned_matches_dense(self):
+        from sparse_gslam_tpu.eval.synthetic_graphs import make_chain_graph
+
+        g, gt = make_chain_graph(
+            n_poses=250, n_closures=8, pad_to=256, drift=0.02, seed=5
+        )
+        gd = solvers.optimize_pose_graph(
+            g, phi=1.0, iterations=25, gnc_init_scale=1e6
+        )
+        gp = dist_solver.optimize_partitioned(
+            g, phi=1.0, n_blocks=4, iterations=25, gnc_init_scale=1e6
+        )
+        np.testing.assert_allclose(
+            np.asarray(gp.poses[:250]), np.asarray(gd.poses[:250]),
+            atol=1e-6,
+        )
+
+    def test_gnc_default_is_fixed_phi(self):
+        from sparse_gslam_tpu.eval.synthetic_graphs import make_chain_graph
+
+        g, _ = make_chain_graph(n_poses=120, n_closures=4, pad_to=128)
+        a = dist_solver.optimize_partitioned(
+            g, phi=1.0, n_blocks=4, iterations=10
+        )
+        b = dist_solver.optimize_partitioned(
+            g, phi=1.0, n_blocks=4, iterations=10, gnc_init_scale=1.0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.poses), np.asarray(b.poses)
+        )
+
+    def test_refine_f64_holds_f64_fixpoint(self):
+        # starting refinement AT the converged f64 solution must not
+        # move it (the external-gradient step is a true fixpoint map)
+        import jax.numpy as jnp
+        from sparse_gslam_tpu.eval.synthetic_graphs import make_chain_graph
+        from sparse_gslam_tpu.io.native import posegraph_gn_native
+        from sparse_gslam_tpu.parallel.partition import make_partition
+
+        g, _ = make_chain_graph(
+            n_poses=250, n_closures=8, pad_to=256, drift=0.005, seed=1,
+            dtype=np.float32,
+        )
+        ref = posegraph_gn_native(g, 1.0, 120)  # converged f64
+        plan = make_partition(
+            256, 4, np.asarray(g.clo_i), np.asarray(g.clo_j),
+            np.asarray(g.clo_valid),
+        )
+        bg, sg = dist_solver.split_graph(g, plan)
+        start = jnp.asarray(ref.reshape(4, 64, 3), jnp.float32)
+        out = dist_solver.refine_f64(g, plan, bg, sg, 1.0, start, rounds=3)
+        assert np.abs(out[:250] - ref[:250]).max() < 1e-6
+        arrs = {
+            k: np.asarray(v, np.float64)
+            if np.asarray(v).dtype.kind == "f"
+            else np.asarray(v)
+            for k, v in g._asdict().items()
+        }
+        gnorm = np.abs(
+            dist_solver.pose_graph_gradient_np(out, arrs, 1.0)[:250]
+        ).max()
+        assert gnorm < 1e-6
+
+    def test_refine_improves_f32_solution(self):
+        from sparse_gslam_tpu.eval.synthetic_graphs import make_chain_graph
+        from sparse_gslam_tpu.io.native import posegraph_gn_native
+
+        g, _ = make_chain_graph(
+            n_poses=500, n_closures=16, pad_to=512, drift=0.005, seed=4,
+            dtype=np.float32,
+        )
+        ref = posegraph_gn_native(g, 1.0, 150)
+        base = dist_solver.optimize_partitioned(
+            g, phi=1.0, n_blocks=8, iterations=60
+        )
+        ref_g = dist_solver.optimize_partitioned(
+            g, phi=1.0, n_blocks=8, iterations=60, refine_rounds=4
+        )
+        e0 = np.abs(np.asarray(base.poses[:500], np.float64) - ref[:500]).max()
+        e1 = np.abs(np.asarray(ref_g.poses[:500], np.float64) - ref[:500]).max()
+        assert e1 <= e0 + 1e-9
