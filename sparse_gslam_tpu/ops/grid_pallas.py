@@ -15,10 +15,19 @@ tests in interpret mode); avoids materializing the per-scan hit/miss
 masks and the XLA scatter round trips -- the whole insertion is one
 kernel launch with the grid in VMEM.
 
-Status: opt-in via SLAM_PALLAS_INSERT=1. This environment's hosted
-remote-compile helper currently returns HTTP 500 for pallas kernels
-(including trivial ones), so on-hardware validation is pending real
-TPU access; the XLA path remains the default.
+Status: opt-in via SLAM_PALLAS_INSERT=1, validated on TPU v5e
+hardware (compiles and runs; matches the XLA path bit-exactly in
+interpret mode and to fp tolerance on hardware -- lane-masked VPU
+arithmetic rounds differently from XLA's scatter fusion at ~1e-7).
+NOT the default because it is currently SLOWER than the XLA scatter
+path (1.4 ms vs 0.8 ms at S=8/B=16/256^2; 6.8 ms vs 1.6 ms at
+S=30/T=128): Mosaic cannot address a dynamic lane position, so each
+cell update is a (1, size) row read-modify-write, serializing
+beams x steps row ops, while XLA batches all scatters. A faster
+design would rasterize each scan densely (cells x beams vectorized
+point-to-segment tests) rather than walk rays; revisit if grid
+insertion ever dominates a profile (it does not today -- matching
+does).
 """
 from __future__ import annotations
 
@@ -38,8 +47,8 @@ def _insert_kernel(
     origin_ref,  # (1, 2) grid origin SMEM
     res_ref,  # (1, 1) resolution SMEM
     scan_origin_ref,  # (S, 2) all scan origins (SMEM, indexed by scan)
-    pts_ref,  # (B, 2) endpoints (VMEM)
-    kind_ref,  # (B, 1) int32 0=invalid 1=hit 2=miss (VMEM)
+    pts_ref,  # (1, B, 2) endpoints (SMEM: scalar reads at dynamic b)
+    kind_ref,  # (1, B, 1) int32 0=invalid 1=hit 2=miss (SMEM)
     probs_ref,  # (G, G) in/out (VMEM, aliased)
     marker_ref,  # (G, G) int32 scratch-like in/out (aliased)
     *,
@@ -58,30 +67,31 @@ def _insert_kernel(
     marker = scan_idx + 1  # 0 = untouched
 
     def update_cell(cx, cy, obs_p, is_hit):
-        """Odds-update one cell if in bounds and (not yet updated this
-        scan, or upgrading a miss is forbidden -- first update wins,
-        hits are applied before misses within the scan)."""
+        """Odds-update one cell if in bounds and not yet updated this
+        scan (first update wins; hits are applied before misses within
+        the scan).
+
+        Mosaic cannot index VMEM at a dynamic LANE position (the last
+        dim must be statically 128-aligned), so the update is a
+        row-vector read-modify-write: load the cell's full (1, size)
+        row (dynamic sublane index is allowed), select the target lane
+        with an iota mask, and store the row back."""
         inb = (cx >= 0) & (cx < size) & (cy >= 0) & (cy < size)
 
         @pl.when(inb)
         def _():
             cxi = jnp.clip(cx, 0, size - 1)
-            cyi = jnp.clip(cy, 0, size - 1)
-            seen = marker_ref[pl.ds(cxi, 1), pl.ds(cyi, 1)][0, 0] == marker
-
-            @pl.when(jnp.logical_not(seen))
-            def _():
-                p = probs_ref[pl.ds(cxi, 1), pl.ds(cyi, 1)][0, 0]
-                known = p > 0.0
-                p_eff = jnp.where(known, p, 0.5)
-                odds = (obs_p / (1.0 - obs_p)) * (p_eff / (1.0 - p_eff))
-                newp = jnp.clip(odds / (1.0 + odds), PMIN, PMAX)
-                out = jnp.where(known, newp, obs_p)
-                # Mosaic forbids scalar VMEM stores; write (1,1) slices
-                probs_ref[pl.ds(cxi, 1), pl.ds(cyi, 1)] = out.reshape(1, 1)
-                marker_ref[pl.ds(cxi, 1), pl.ds(cyi, 1)] = jnp.full(
-                    (1, 1), marker, jnp.int32
-                )
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1)
+            mrow = marker_ref[pl.ds(cxi, 1), :]  # (1, size) int32
+            prow = probs_ref[pl.ds(cxi, 1), :]  # (1, size) f32
+            fresh = (lane == cy) & (mrow != marker)
+            known = prow > 0.0
+            p_eff = jnp.where(known, prow, 0.5)
+            odds = (obs_p / (1.0 - obs_p)) * (p_eff / (1.0 - p_eff))
+            newp = jnp.clip(odds / (1.0 + odds), PMIN, PMAX)
+            out = jnp.where(known, newp, obs_p)
+            probs_ref[pl.ds(cxi, 1), :] = jnp.where(fresh, out, prow)
+            marker_ref[pl.ds(cxi, 1), :] = jnp.where(fresh, marker, mrow)
 
         del is_hit
 
@@ -158,9 +168,9 @@ def insert_rays_pallas(
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((S, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, B, 2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((size, size), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((size, size), lambda i: (0, 0),
