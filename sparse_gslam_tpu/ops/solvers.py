@@ -239,6 +239,86 @@ def tridiag_solve(D, O, rhs):
     return xs
 
 
+def tridiag_solve_cr(D, O, rhs):
+    """Block cyclic reduction for the same SPD block-tridiagonal system
+    as tridiag_solve: O(log P) parallel elimination levels instead of
+    an O(P) sequential scan -- each level eliminates all odd-indexed
+    blocks simultaneously (vectorized across blocks, partitions, and
+    right-hand sides), which is the latency-optimal shape for TPU.
+    Equivalent to block Cholesky under a nested-dissection ordering,
+    so stability matches the LDL scan for SPD input.
+
+    D: (P, 3, 3); O: (P, 3, 3) with O[i] = H[i-1, i] (O[0] ignored);
+    rhs: (P, 3, R). Returns x (P, 3, R).
+    """
+    P = D.shape[0]
+    M = 1
+    while M < max(P, 1):
+        M *= 2
+    dt = D.dtype
+    eye = jnp.eye(3, dtype=dt)
+    if M != P:
+        pad = M - P
+        D = jnp.concatenate([D, jnp.tile(eye, (pad, 1, 1))], axis=0)
+        O = jnp.concatenate([O, jnp.zeros((pad, 3, 3), dt)], axis=0)
+        rhs = jnp.concatenate(
+            [rhs, jnp.zeros((pad,) + rhs.shape[1:], dt)], axis=0
+        )
+    E = O.at[0].set(0.0)
+    r = rhs
+
+    # forward elimination: per level, remove odd-indexed blocks
+    stack = []  # per-level (D_o_inv, E_e, E_o) for back-substitution
+    m = M
+    while m > 1:
+        D_e, D_o = D[0::2], D[1::2]
+        E_e, E_o = E[0::2], E[1::2]
+        r_e, r_o = r[0::2], r[1::2]
+        Dinv_o = inv3(D_o)
+        z33 = jnp.zeros((1, 3, 3), dt)
+        Dinv_prev = jnp.concatenate([z33, Dinv_o[:-1]], axis=0)
+        E_o_prev = jnp.concatenate([z33, E_o[:-1]], axis=0)
+        r_o_prev = jnp.concatenate(
+            [jnp.zeros((1,) + r.shape[1:], dt), r_o[:-1]], axis=0
+        )
+        EeT = jnp.swapaxes(E_e, -1, -2)
+        L = EeT @ Dinv_prev  # couples eq 2k to odd 2k-1
+        Rr = E_o @ Dinv_o  # couples eq 2k to odd 2k+1
+        D_new = D_e - L @ jnp.swapaxes(EeT, -1, -2) - Rr @ jnp.swapaxes(
+            E_o, -1, -2
+        )
+        r_new = r_e - L @ r_o_prev - Rr @ r_o
+        # convention E'[k] = H'[k-1, k]: the elimination of odd block
+        # 2k-1 couples eq 2k to x_{2k-2} with -E_e^T Dinv E_o_prev^T,
+        # which is H'[k, k-1]; store its transpose
+        E_new = -(E_o_prev @ Dinv_prev @ E_e)
+        stack.append((Dinv_o, E_e, E_o, r_o))
+        D, E, r = D_new, E_new, r_new
+        m //= 2
+
+    x = inv3(D[0])[None] @ r  # (1, 3, R)
+
+    # back-substitution: recover the odd blocks of each level
+    for Dinv_o, E_e, E_o, r_o in reversed(stack):
+        half = Dinv_o.shape[0]
+        x_e = x  # (half, 3, R)
+        E_e_next = jnp.concatenate(
+            [E_e[1:], jnp.zeros((1, 3, 3), dt)], axis=0
+        )
+        x_e_next = jnp.concatenate(
+            [x_e[1:], jnp.zeros((1,) + x.shape[1:], dt)], axis=0
+        )
+        x_o = Dinv_o @ (
+            r_o
+            - jnp.swapaxes(E_o, -1, -2) @ x_e
+            - E_e_next @ x_e_next
+        )
+        x = jnp.stack([x_e, x_o], axis=1).reshape(
+            2 * half, *x.shape[1:]
+        )
+    return x[:P]
+
+
 # ---------------------------------------------------------------------------
 # robust kernel
 # ---------------------------------------------------------------------------

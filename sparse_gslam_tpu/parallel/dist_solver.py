@@ -127,18 +127,32 @@ def _scatter_blocks(target, bi, bj, vals):
     )
 
 
+def _shift_up(x):
+    """out[m] = x[m+1], out[-1] = 0 (moves edge-m values to slot m-1)."""
+    return jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
+
+
 def _block_system(
     block_idx,  # () int32
     poses, valid, fixed, chain_meas, chain_info, chain_valid, sep_local,
     prev_last_pose,  # (3,) halo: last pose of the previous block
     S: int,
     b_ext=None,  # (M, 3) externally supplied gradient (refinement mode)
+    need_dense: bool = False,  # build the dense (3M,3M) interior matrix
 ):
     """Assemble one block's partitioned-system pieces in LOCAL separator
     indexing (S = local capacity K; the driver scatters local pieces
     into the global separator system via loc_sep).
 
-    Returns (A (3M,3M), b_i (3M,), His (3S,3M), Hss (3S,3S), b_s (3S,)).
+    Returns (A (3M,3M) or None, b_i (3M,), His (3S,3M), Hss (3S,3S),
+    b_s (3S,)).
+
+    Assembly is scatter-free: TPU lowers dynamic-index scatter-adds to
+    serial loops (measured 10.3 ms of a 16.9 ms GN iteration at
+    P=128/M=128). The chain's connectivity is static -- edge m couples
+    poses m-1 and m -- so every "scatter" is either a shift along m
+    (_shift_up) or a one-hot masked product/contraction over the K
+    local separator slots, all of which fuse into vector ops.
     """
     M = poses.shape[0]
     dt = poses.dtype
@@ -175,85 +189,88 @@ def _block_system(
     bj_ = -jnp.einsum("nba,nb->na", OJj, ew)
 
     m_idx = jnp.arange(M)
-    mA = jnp.maximum(m_idx - 1, 0)  # local index of endpoint A (m>0)
+    HijT = jnp.swapaxes(Hij, -1, -2)
+    both = intA & intB & (m_idx > 0)
 
-    # All matrices are assembled as flat 2-D arrays: on TPU an array
-    # with trailing (..,3,3) dims pads each 3x3 block to a full (8,128)
-    # tile (~114x memory), which OOMs at production scale; scattering
-    # 3x3 blocks into (3M,3M)/(3S,3M)/(3S,3S) avoids that entirely.
     if b_ext is None:
-        b_i = jnp.zeros((M, 3), dt)
-        b_i = b_i.at[mA].add(jnp.where(intA[:, None], bi_, 0.0))
-        b_i = b_i.at[m_idx].add(jnp.where(intB[:, None], bj_, 0.0))
+        # edge m contributes bi_ to pose m-1 (shift up) and bj_ to m
+        b_i = jnp.where(intB[:, None], bj_, 0.0) + _shift_up(
+            jnp.where(intA[:, None], bi_, 0.0)
+        )
     else:
         # refinement mode: the full gradient (chain + closures) was
         # computed externally in float64; interior rows take it
         # directly, separator rows get theirs via the driver's bs_ext
         b_i = jnp.where(interior[:, None], b_ext.astype(dt), 0.0)
 
-    # interior dense system A: identity rows for non-interior slots
-    base = jnp.where(
-        jnp.repeat(interior, 3), jnp.asarray(1e-12, dt), jnp.asarray(1.0, dt)
-    )
-    A = jnp.diag(base)
-    A = _scatter_blocks(A, jnp.where(intA, mA, -1), jnp.where(intA, mA, -1),
-                        Hii)
-    A = _scatter_blocks(A, jnp.where(intB, m_idx, -1),
-                        jnp.where(intB, m_idx, -1), Hjj)
-    both = intA & intB & (m_idx > 0)
-    A = _scatter_blocks(A, jnp.where(both, mA, -1),
-                        jnp.where(both, m_idx, -1), Hij)
-    A = _scatter_blocks(A, jnp.where(both, m_idx, -1),
-                        jnp.where(both, mA, -1),
-                        jnp.swapaxes(Hij, -1, -2))
-
-    # separator coupling + separator system
-    sA = jnp.where(intA, -1, sepA)  # valid slot only when A is separator
-    sB = jnp.where(intB, -1, sepB)
-    His_mat = jnp.zeros((3 * S, 3 * M), dt)
-    put = (sA >= 0) & intB  # H_{A,B} = Hij with A=sep row, B=int col
-    His_mat = _scatter_blocks(
-        His_mat, jnp.where(put, sA, -1), jnp.where(put, m_idx, -1), Hij
-    )
-    put2 = (sB >= 0) & intA  # H_{B,A} = Hij^T
-    His_mat = _scatter_blocks(
-        His_mat, jnp.where(put2, sB, -1), jnp.where(put2, mA, -1),
-        jnp.swapaxes(Hij, -1, -2),
-    )
-
-    Hss_mat = jnp.zeros((3 * S, 3 * S), dt)
-    b_s = jnp.zeros((S, 3), dt)
-    putA = (sA >= 0) & freeA
-    iA = jnp.where(putA, sA, -1)
-    Hss_mat = _scatter_blocks(Hss_mat, iA, iA, Hii)
-    putB = (sB >= 0) & freeB
-    iB = jnp.where(putB, sB, -1)
-    Hss_mat = _scatter_blocks(Hss_mat, iB, iB, Hjj)
-    if b_ext is None:
-        b_s = b_s.at[jnp.where(putA, sA, S)].add(
-            jnp.where(putA[:, None], bi_, 0.0), mode="drop"
-        )
-        b_s = b_s.at[jnp.where(putB, sB, S)].add(
-            jnp.where(putB[:, None], bj_, 0.0), mode="drop"
-        )
-    putAB = (sA >= 0) & (sB >= 0)
-    Hss_mat = _scatter_blocks(
-        Hss_mat, jnp.where(putAB, sA, -1), jnp.where(putAB, sB, -1), Hij
-    )
-    Hss_mat = _scatter_blocks(
-        Hss_mat, jnp.where(putAB, sB, -1), jnp.where(putAB, sA, -1),
-        jnp.swapaxes(Hij, -1, -2),
-    )
-    # block-tridiagonal view of the same interior system (used by the
-    # O(M) LDL solve path; XLA dead-code-eliminates whichever of A /
-    # (Db, Ob) the caller does not consume)
+    # block-tridiagonal interior system (identity rows keep padding /
+    # separator slots decoupled)
     eye = jnp.eye(3, dtype=dt)
     Db = eye * jnp.where(interior, dt.type(1e-12), dt.type(1.0))[
         :, None, None
     ]
-    Db = Db.at[mA].add(jnp.where(intA[:, None, None], Hii, 0.0))
-    Db = Db.at[m_idx].add(jnp.where(intB[:, None, None], Hjj, 0.0))
+    Db = Db + _shift_up(jnp.where(intA[:, None, None], Hii, 0.0))
+    Db = Db + jnp.where(intB[:, None, None], Hjj, 0.0)
     Ob = jnp.where(both[:, None, None], Hij, 0.0)  # Ob[m] at (m-1, m)
+
+    if need_dense:
+        mA = jnp.maximum(m_idx - 1, 0)
+        base = jnp.where(
+            jnp.repeat(interior, 3), jnp.asarray(1e-12, dt),
+            jnp.asarray(1.0, dt),
+        )
+        A = jnp.diag(base)
+        A = _scatter_blocks(
+            A, jnp.where(intA, mA, -1), jnp.where(intA, mA, -1), Hii
+        )
+        A = _scatter_blocks(
+            A, jnp.where(intB, m_idx, -1), jnp.where(intB, m_idx, -1),
+            Hjj,
+        )
+        A = _scatter_blocks(
+            A, jnp.where(both, mA, -1), jnp.where(both, m_idx, -1), Hij
+        )
+        A = _scatter_blocks(
+            A, jnp.where(both, m_idx, -1), jnp.where(both, mA, -1), HijT
+        )
+    else:
+        A = None
+
+    # separator coupling + separator system via one-hot masks over the
+    # K local slots (K is small; everything stays dense vector math)
+    sA = jnp.where(intA, -1, sepA)  # valid slot only when A is separator
+    sB = jnp.where(intB, -1, sepB)
+    k_ar = jnp.arange(S)
+    put = (sA >= 0) & intB  # H_{A,B} = Hij with A=sep row, B=int col
+    put2 = (sB >= 0) & intA  # H_{B,A} = Hij^T at col m-1
+    UA = ((sA[:, None] == k_ar[None]) & put[:, None]).astype(dt)  # (M,S)
+    UB2 = ((sB[:, None] == k_ar[None]) & put2[:, None]).astype(dt)
+    T1 = UA[:, :, None, None] * Hij[:, None]  # (M, S, 3, 3) at col m
+    T2 = _shift_up(UB2[:, :, None, None] * HijT[:, None])  # at col m-1
+    His_mat = (
+        (T1 + T2).transpose(1, 2, 0, 3).reshape(3 * S, 3 * M)
+    )
+
+    putA = (sA >= 0) & freeA
+    putB = (sB >= 0) & freeB
+    putAB = (sA >= 0) & (sB >= 0)
+    WA = ((sA[:, None] == k_ar[None]) & putA[:, None]).astype(dt)
+    WB = ((sB[:, None] == k_ar[None]) & putB[:, None]).astype(dt)
+    WABi = ((sA[:, None] == k_ar[None]) & putAB[:, None]).astype(dt)
+    WABj = ((sB[:, None] == k_ar[None]) & putAB[:, None]).astype(dt)
+    Hss4 = (
+        jnp.einsum("mk,ml,mab->kalb", WA, WA, Hii)
+        + jnp.einsum("mk,ml,mab->kalb", WB, WB, Hjj)
+        + jnp.einsum("mk,ml,mab->kalb", WABi, WABj, Hij)
+        + jnp.einsum("mk,ml,mab->kalb", WABj, WABi, HijT)
+    )
+    Hss_mat = Hss4.reshape(3 * S, 3 * S)
+    if b_ext is None:
+        b_s = jnp.einsum("mk,ma->ka", WA, bi_) + jnp.einsum(
+            "mk,ma->ka", WB, bj_
+        )
+    else:
+        b_s = jnp.zeros((S, 3), dt)
 
     return (
         A, Db, Ob, b_i.reshape(3 * M), His_mat, Hss_mat,
@@ -278,6 +295,8 @@ def _closure_system(sep_poses, sg: SepGraph, phi, S):
     OJi = jnp.einsum("nab,nbc->nac", info_w, Ji)
     OJj = jnp.einsum("nab,nbc->nac", info_w, Jj)
 
+    # block scatter (a one-hot matmul variant was tried and is slower
+    # at f32-highest precision; see _locals_to_global)
     Hss = jnp.zeros((3 * S, 3 * S), dt)
     b_s = jnp.zeros((S, 3), dt)
     si, sj = sg.clo_sep_i, sg.clo_sep_j
@@ -291,7 +310,9 @@ def _closure_system(sep_poses, sg: SepGraph, phi, S):
     return Hss, b_s.reshape(3 * S)
 
 
-INTERIOR_SOLVE = "tridiag"  # "tridiag" (O(M) LDL) or "dense" (Cholesky)
+# "cr" (O(log M) block cyclic reduction -- latency-optimal on TPU),
+# "tridiag" (O(M) sequential LDL scan), or "dense" (Cholesky)
+INTERIOR_SOLVE = "cr"
 
 
 def _block_gn_pieces(block_idx, blk, prev_last_pose, S, b_ext=None):
@@ -305,15 +326,15 @@ def _block_gn_pieces(block_idx, blk, prev_last_pose, S, b_ext=None):
     interior matrix IS block-tridiagonal, so both are exact; the LDL
     path does ~M times less work per block.
     """
-    from ..ops.solvers import tridiag_solve
+    from ..ops.solvers import tridiag_solve, tridiag_solve_cr
 
     A, Db, Ob, b_i, His, Hss, b_s = _block_system(
         block_idx, blk.poses, blk.valid, blk.fixed, blk.chain_meas,
         blk.chain_info, blk.chain_valid, blk.sep_local, prev_last_pose, S,
-        b_ext,
+        b_ext, need_dense=(INTERIOR_SOLVE == "dense"),
     )
     rhs = jnp.concatenate([b_i[:, None], His.T], axis=1)  # (3M, 1+3K)
-    if INTERIOR_SOLVE == "tridiag":
+    if INTERIOR_SOLVE in ("tridiag", "cr"):
         M = Db.shape[0]
         # row-wise Jacobi equilibration for f32 stability
         d = jnp.clip(
@@ -325,9 +346,10 @@ def _block_gn_pieces(block_idx, blk, prev_last_pose, S, b_ext=None):
         Os = Ob * s_prev[:, :, None] * sdiag[:, None, :]
         R = rhs.shape[1]
         rhs_s = rhs.reshape(M, 3, R) * sdiag[:, :, None]
-        Y = (tridiag_solve(Ds, Os, rhs_s) * sdiag[:, :, None]).reshape(
-            3 * M, R
+        solve = (
+            tridiag_solve_cr if INTERIOR_SOLVE == "cr" else tridiag_solve
         )
+        Y = (solve(Ds, Os, rhs_s) * sdiag[:, :, None]).reshape(3 * M, R)
     else:
         Y = _eq_chol_solve(A, rhs)
     S_contrib = His @ Y[:, 1:]  # (3K, 3K)
@@ -337,11 +359,20 @@ def _block_gn_pieces(block_idx, blk, prev_last_pose, S, b_ext=None):
 
 def _compute_delta(Y, d_loc, sep_local):
     """delta_i = Y0 - (A^-1 His^T) d_loc; separator poses take their
-    local separator update. Returns (M, 3). d_loc (3K,)."""
+    local separator update. Returns (M, 3). d_loc (3K,).
+
+    The separator pick-out is a one-hot matmul, not a gather: TPU
+    executes dynamic gathers serially (measured ~1.7 ms for this
+    (M from K)-row pick at P=128), while the (M,K)@(K,3) product
+    fuses into vector math."""
     M = Y.shape[0] // 3
     d_i = (Y[:, 0] - Y[:, 1:] @ d_loc).reshape(M, 3)
+    dl = d_loc.reshape(-1, 3)
+    oh = (sep_local[:, None] == jnp.arange(dl.shape[0])[None]).astype(
+        Y.dtype
+    )
+    d_sep = oh @ dl
     is_sep = sep_local >= 0
-    d_sep = d_loc.reshape(-1, 3)[jnp.maximum(sep_local, 0)]
     return jnp.where(is_sep[:, None], d_sep, d_i)
 
 
@@ -351,16 +382,29 @@ def _apply_updates(poses, Y, d_loc, sep_local):
 
 
 def _gather_local(d_s, loc_sep_row):
-    """(3S,) global separator update -> (3K,) local (0 for padding)."""
+    """(3S,) global separator update -> (3K,) local (0 for padding).
+    One-hot matmul instead of a gather (slow on TPU); padding rows
+    (-1) match no column and come out zero."""
     dsr = d_s.reshape(-1, 3)
-    out = dsr[jnp.maximum(loc_sep_row, 0)]
-    return jnp.where((loc_sep_row >= 0)[:, None], out, 0.0).reshape(-1)
+    oh = (
+        loc_sep_row[:, None] == jnp.arange(dsr.shape[0])[None]
+    ).astype(d_s.dtype)
+    return (oh @ dsr).reshape(-1)
 
 
 def _locals_to_global(S_base, b_base, loc_sep, S_loc, b_loc):
     """Scatter per-block local Schur pieces into the global separator
     system. loc_sep (..., K); S_loc (..., 3K, 3K); b_loc (..., 3K).
-    Leading block dims are flattened."""
+    Leading block dims are flattened.
+
+    Stays a block scatter deliberately: a one-hot contraction variant
+    (the (S, P*K) @ (P*K, 3S*3) selection matmul) was tried and is
+    SLOWER at f32-highest precision (7.3 ms vs 3.5 ms at
+    P=128/K=16/S=1024), and the bf16 hi/lo-split fast path is
+    numerically unsafe here -- Hss - Sc is a near-cancellation whose
+    small eigenvalues cannot absorb 2^-16-relative rounding of
+    ~1e3-magnitude entries (observed indefinite separator systems ->
+    Cholesky NaN)."""
     K = loc_sep.shape[-1]
     ls = loc_sep.reshape(-1, K)
     nb = ls.shape[0]
