@@ -239,14 +239,21 @@ def tridiag_solve(D, O, rhs):
     return xs
 
 
-def tridiag_solve_cr(D, O, rhs):
+def tridiag_solve_cr(D, O, rhs, min_seq: int = 1):
     """Block cyclic reduction for the same SPD block-tridiagonal system
     as tridiag_solve: O(log P) parallel elimination levels instead of
     an O(P) sequential scan -- each level eliminates all odd-indexed
     blocks simultaneously (vectorized across blocks, partitions, and
-    right-hand sides), which is the latency-optimal shape for TPU.
-    Equivalent to block Cholesky under a nested-dissection ordering,
-    so stability matches the LDL scan for SPD input.
+    right-hand sides). Equivalent to block Cholesky under a
+    nested-dissection ordering, so stability matches the LDL scan for
+    SPD input.
+
+    min_seq > 1 gives the hybrid schedule: reduce until min_seq blocks
+    remain, then solve that core with the sequential-scan LDL. Each CR
+    level costs a fixed handful of op dispatches while the scan costs
+    ~2 dispatches per block row, so the optimum runs a few CR levels
+    and a short scan (both regimes are latency-bound on TPU, not
+    FLOP-bound).
 
     D: (P, 3, 3); O: (P, 3, 3) with O[i] = H[i-1, i] (O[0] ignored);
     rhs: (P, 3, R). Returns x (P, 3, R).
@@ -270,7 +277,7 @@ def tridiag_solve_cr(D, O, rhs):
     # forward elimination: per level, remove odd-indexed blocks
     stack = []  # per-level (D_o_inv, E_e, E_o) for back-substitution
     m = M
-    while m > 1:
+    while m > min_seq:
         D_e, D_o = D[0::2], D[1::2]
         E_e, E_o = E[0::2], E[1::2]
         r_e, r_o = r[0::2], r[1::2]
@@ -296,7 +303,10 @@ def tridiag_solve_cr(D, O, rhs):
         D, E, r = D_new, E_new, r_new
         m //= 2
 
-    x = inv3(D[0])[None] @ r  # (1, 3, R)
+    if m > 1:
+        x = tridiag_solve(D, E, r)  # short sequential core
+    else:
+        x = inv3(D[0])[None] @ r  # (1, 3, R)
 
     # back-substitution: recover the odd blocks of each level
     for Dinv_o, E_e, E_o, r_o in reversed(stack):

@@ -310,9 +310,13 @@ def _closure_system(sep_poses, sg: SepGraph, phi, S):
     return Hss, b_s.reshape(3 * S)
 
 
-# "cr" (O(log M) block cyclic reduction -- latency-optimal on TPU),
-# "tridiag" (O(M) sequential LDL scan), or "dense" (Cholesky)
-INTERIOR_SOLVE = "cr"
+# Interior solve: "tridiag" (O(M) sequential LDL scan), "cr" (block
+# cyclic reduction, O(log M) levels), or "dense" (Cholesky). Measured
+# at P=128/M=128/R=49 on v5e with scatter-free assembly: tridiag
+# 5.4 ms, cr 6.4 ms (each CR level's full-array rewrites cost more
+# HBM traffic than the scan steps it removes), dense 22.3 ms -- the
+# scan wins once assembly no longer dominates.
+INTERIOR_SOLVE = "tridiag"
 
 
 def _block_gn_pieces(block_idx, blk, prev_last_pose, S, b_ext=None):
