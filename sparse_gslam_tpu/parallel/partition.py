@@ -69,10 +69,11 @@ def make_partition(
 
     S = len(sep_set)
     if sep_capacity is None:
-        cap = 8
-        while cap < max(S, 1):
-            cap *= 2
-        sep_capacity = cap
+        # multiple-of-64 padding (not pow2): the separator Cholesky is
+        # O(S^3) and the global scatters O(S^2) -- at bench scale 639
+        # active slots pow2-pad to 1024 (1.6x), while 640 keeps the
+        # (3S) dim lane-aligned (1920 = 15*128) at no waste
+        sep_capacity = max(8, -(-max(S, 1) // 64) * 64)
     if S > sep_capacity:
         raise ValueError(f"separator count {S} exceeds capacity")
     sep_pose = np.zeros(sep_capacity, np.int32)
