@@ -275,9 +275,20 @@ class SubmapLoopCloser:
         spec = snap["spec"]
         candidates = snap["candidates"]
         # the ctpl-pool fan-out of submap_loop_closer.cpp:158-171 as
-        # exact upper-bound rotation pruning + batched FFT correlation
+        # exact upper-bound rotation pruning + batched FFT correlation.
+        # On CPU the sequential per-candidate loop wins (the running-
+        # best floor prunes real work); on TPU per-candidate host
+        # round-trips cost more than the pruned correlations, so the
+        # chunk-batched variant (one sync per ~8 candidates) is used.
+        import jax
+
         stride = 1 << (max(1, cfg.branch_and_bound_depth) - 1)
-        ci, score, pose, cov = matching.match_candidates_pruned(
+        match_fn = (
+            matching.match_candidates_pruned
+            if jax.default_backend() == "cpu"
+            else matching.match_candidates_pruned_batched
+        )
+        ci, score, pose, cov = match_fn(
             [c[0].score_grid for c in candidates],
             [c[0].pooled_grid for c in candidates],
             [c[0].origin for c in candidates],

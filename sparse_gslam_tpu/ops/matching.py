@@ -193,6 +193,43 @@ def correlate_all(
     return scores, thetas
 
 
+# XLA's TPU FFT silently switches to a low-precision algorithm above
+# ~200 transforms of 384^2 per op (measured: identical inputs score
+# 0.7562 at batch 192 and 0.7024 at batch 224 -- a 7% error that
+# flips loop-closure decisions). Chunking every (i)rfft2 to at most
+# this many transforms per op stays on the accurate path; harmless on
+# CPU.
+_FFT_MAX_BATCH = 128
+
+
+def _rfft2_chunked(x):
+    lead = x.shape[:-2]
+    n = 1
+    for d in lead:
+        n *= d
+    xf = x.reshape((n,) + x.shape[-2:])
+    outs = [
+        jnp.fft.rfft2(xf[i : i + _FFT_MAX_BATCH])
+        for i in range(0, n, _FFT_MAX_BATCH)
+    ]
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return out.reshape(lead + out.shape[-2:])
+
+
+def _irfft2_chunked(x, s):
+    lead = x.shape[:-2]
+    n = 1
+    for d in lead:
+        n *= d
+    xf = x.reshape((n,) + x.shape[-2:])
+    outs = [
+        jnp.fft.irfft2(xf[i : i + _FFT_MAX_BATCH], s=s)
+        for i in range(0, n, _FFT_MAX_BATCH)
+    ]
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return out.reshape(lead + out.shape[-2:])
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_linear", "size", "fft_size")
 )
@@ -233,9 +270,9 @@ def correlate_rotations(
     grid_pad = grid_pad.at[:size, :size].set(score_grid)
 
     # correlation via FFT: corr[o] = sum_c hist[c] * grid[c + o]
-    Fh = jnp.fft.rfft2(hist)  # (R, F, F/2+1)
+    Fh = _rfft2_chunked(hist)  # (R, F, F/2+1)
     Fg = jnp.fft.rfft2(grid_pad)  # (F, F/2+1)
-    corr = jnp.fft.irfft2(
+    corr = _irfft2_chunked(
         jnp.conj(Fh) * Fg[None], s=(fft_size, fft_size)
     )  # corr[o] at index o (negative offsets wrap)
     # extract window [-n_linear, n_linear] via roll
@@ -505,7 +542,16 @@ def correlate_batch(
             scores, thetas, th0, angular_step, resolution, n_linear
         )
 
-    return jax.vmap(one)(score_grids, origins, init_thetas)
+    # statically unrolled rather than vmap: vmap would fuse all C
+    # candidates' rotation FFTs into one op and cross the TPU FFT
+    # batch-precision cliff (see _FFT_MAX_BATCH)
+    outs = [
+        one(score_grids[i], origins[i], init_thetas[i])
+        for i in range(score_grids.shape[0])
+    ]
+    return tuple(
+        jnp.stack([o[k] for o in outs]) for k in range(3)
+    )
 
 
 def match_submaps_batched(
@@ -668,6 +714,233 @@ def match_candidates_pruned(
         return None, 0.0, None, None
     sc, ci, th, ox, oy = best
     pose = _np.array([ox, oy, th])
+    th0 = float(init_thetas[ci])
+    cov = _np.asarray(
+        window_cov(
+            score_grids[ci], origins[ci], pts, valid,
+            jnp.asarray(pose, jnp.float32), jnp.float32(th0),
+            jnp.float32(spec.angular_step),
+            jnp.float32(th0 - spec.n_angular * spec.angular_step),
+            jnp.float32(th0 + spec.n_angular * spec.angular_step),
+            float(spec.resolution), int(size),
+        )
+    ).astype(_np.float64)
+    return ci, sc, pose, cov
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_linear", "size", "fft_size")
+)
+def correlate_rotations_batch(
+    score_grids,  # (B, size, size)
+    origins,  # (B, 2)
+    points,
+    point_valid,
+    thetas,  # (B, R) per-candidate rotation sets
+    resolution,
+    n_linear: int,
+    size: int,
+    fft_size: int,
+):
+    """correlate_rotations over a candidate batch (shared query).
+    Written directly (not vmap of the single version: vmapping its
+    histogram scatter makes XLA materialize a (B,N,fft,...) one-hot
+    intermediate that OOMs). The (B,R) histograms build through one
+    flat scatter-add with the batch folded into the flat index --
+    identical structure to the single-candidate path.
+    Returns (B, R, 2*n_linear+1, 2*n_linear+1)."""
+    B, R = thetas.shape
+    c, s = jnp.cos(thetas), jnp.sin(thetas)  # (B, R)
+    px = (
+        c[:, :, None] * points[None, None, :, 0]
+        - s[:, :, None] * points[None, None, :, 1]
+    )  # (B, R, N)
+    py = (
+        s[:, :, None] * points[None, None, :, 0]
+        + c[:, :, None] * points[None, None, :, 1]
+    )
+    cx = jnp.floor(
+        (px - origins[:, None, None, 0]) / resolution
+    ).astype(jnp.int32)
+    cy = jnp.floor(
+        (py - origins[:, None, None, 1]) / resolution
+    ).astype(jnp.int32)
+    inb = (
+        point_valid[None, None, :]
+        & (cx >= 0) & (cx < size) & (cy >= 0) & (cy < size)
+    )
+    BR = B * R
+    cell = fft_size * fft_size
+    N = points.shape[0]
+    flat = jnp.where(inb, cx * fft_size + cy, cell).reshape(BR, N)
+    ar = jnp.broadcast_to(jnp.arange(BR)[:, None], (BR, N))
+    hist = (
+        jnp.zeros((BR, cell), jnp.float32)
+        .at[ar, flat]
+        .add(inb.astype(jnp.float32).reshape(BR, N), mode="drop")
+        .reshape(B, R, fft_size, fft_size)
+    )
+    grid_pad = jnp.zeros((B, fft_size, fft_size), jnp.float32)
+    grid_pad = grid_pad.at[:, :size, :size].set(score_grids)
+    Fh = _rfft2_chunked(hist)  # (B, R, F, F/2+1)
+    Fg = _rfft2_chunked(grid_pad)  # (B, F, F/2+1)
+    corr = _irfft2_chunked(
+        jnp.conj(Fh) * Fg[:, None], s=(fft_size, fft_size)
+    )
+    corr = jnp.roll(corr, (n_linear, n_linear), axis=(2, 3))[
+        :, :, : 2 * n_linear + 1, : 2 * n_linear + 1
+    ]
+    n_valid = jnp.maximum(jnp.sum(point_valid), 1)
+    # same out-of-grid correction as correlate_rotations
+    n_in = jnp.sum(inb, axis=2)  # (B, R)
+    corr = corr + (n_valid - n_in)[:, :, None, None] * PMIN
+    return corr / n_valid
+
+
+def match_candidates_pruned_batched(
+    score_grids,
+    pooled_grids,
+    origins,
+    init_thetas,
+    points,
+    spec: SearchSpec,
+    min_score: float,
+    stride: int,
+    fft_margin_bucket: int = 128,
+    chunk: int = 8,
+):
+    """TPU variant of match_candidates_pruned: same exact rotation
+    pruning from pooled-grid upper bounds, but the FFT phase batches
+    surviving candidates in chunks with ONE device sync per chunk
+    instead of one per candidate (ROADMAP item: on TPU, per-candidate
+    host round-trips cost more than the extra correlations the
+    sequential running-best floor would have pruned). Bit-identical
+    best-match semantics for any fixed min_score floor; only the
+    intermediate floor tightening differs, which cannot change the
+    argmax (every rotation above min_score is still scored).
+    Returns (best_idx or None, score, pose (3,), cov (3,3))."""
+    import numpy as _np
+
+    size = score_grids[0].shape[0]
+    N = len(points)
+    n_bucket = 256
+    while n_bucket < N:
+        n_bucket *= 2
+    pts = jnp.asarray(
+        _np.concatenate(
+            [points.astype(_np.float32),
+             _np.zeros((n_bucket - N, 2), _np.float32)]
+        )
+    )
+    valid = jnp.asarray(_np.arange(n_bucket) < N)
+    fft_size = size + fft_margin_bucket
+    R_full = 2 * spec.n_angular + 1
+    C = len(score_grids)
+    ks = _np.arange(R_full) - spec.n_angular
+    all_thetas = _np.stack(
+        [
+            (float(t0) + ks * spec.angular_step).astype(_np.float32)
+            for t0 in init_thetas
+        ]
+    )
+    # phase 1: batched per-rotation upper bounds (shared with the
+    # sequential path)
+    ubs = _np.zeros((C, R_full), _np.float32)
+    c0 = 0
+    while c0 < C:
+        csize = 1
+        while csize < min(16, C - c0):
+            csize *= 2
+        idxs = list(range(c0, min(c0 + csize, C)))
+        pad = csize - len(idxs)
+        sel_idx = idxs + [idxs[0]] * pad
+        got = _np.asarray(
+            rotation_upper_bounds_batch(
+                jnp.stack([pooled_grids[k] for k in sel_idx]),
+                jnp.stack([jnp.asarray(origins[k]) for k in sel_idx]),
+                jnp.asarray(all_thetas[sel_idx]),
+                pts, valid, float(spec.resolution),
+                int(spec.n_linear), int(size), int(stride),
+            )
+        )
+        ubs[idxs] = got[: len(idxs)]
+        c0 += csize
+
+    # phase 2: candidates in descending-bound order; per device call,
+    # batch up to `chunk` candidates' surviving rotations. The running
+    # best tightens the floor BETWEEN calls (the sequential path's
+    # pruning at chunk granularity), so both paths accept the same
+    # match: every rotation above min_score on the winning candidate
+    # is still scored.
+    order = _np.argsort(ubs.max(axis=1))[::-1]
+    best = None  # (score, cand_idx, theta, ox, oy)
+    pos = 0
+    cur_chunk = 1  # ramp 1 -> 2 -> 4 ... : the first (highest-bound)
+    # candidate alone usually sets a tight floor that guts the rest
+    while pos < C:
+        floor = max(min_score, best[0] if best else -1.0)
+        if ubs[int(order[pos])].max() <= floor:
+            break  # bound-ordered: nothing below can beat the floor
+        batch = []
+        while pos < C and len(batch) < cur_chunk:
+            ci = int(order[pos])
+            if ubs[ci].max() <= floor:
+                break
+            sel = _np.nonzero(ubs[ci] > floor)[0]
+            pos += 1
+            if len(sel):
+                batch.append((ci, sel))
+        cur_chunk = min(2 * cur_chunk, chunk)
+        if not batch:
+            continue
+        Rb = 8
+        while Rb < max(len(sel) for _, sel in batch):
+            Rb *= 2
+        # memory/precision bound: at most ~128 rotation-planes per call
+        eff = max(1, min(len(batch), 128 // Rb))
+        for b0 in range(0, len(batch), eff):
+            sub = batch[b0 : b0 + eff]
+            csize = 1
+            while csize < len(sub):
+                csize *= 2
+            sub_pad = sub + [sub[0]] * (csize - len(sub))
+            th = _np.stack(
+                [
+                    all_thetas[ci][
+                        _np.concatenate(
+                            [sel,
+                             _np.full(Rb - len(sel), sel[0], _np.int64)]
+                        )
+                    ]
+                    for ci, sel in sub_pad
+                ]
+            )
+            scores = _np.asarray(
+                correlate_rotations_batch(
+                    jnp.stack([score_grids[ci] for ci, _ in sub_pad]),
+                    jnp.stack(
+                        [jnp.asarray(origins[ci]) for ci, _ in sub_pad]
+                    ),
+                    pts, valid, jnp.asarray(th),
+                    float(spec.resolution), int(spec.n_linear),
+                    int(size), int(fft_size),
+                )
+            )  # (csize, Rb, L, L)
+            for b, (ci, sel) in enumerate(sub):
+                k, i, j = _np.unravel_index(
+                    _np.argmax(scores[b]), scores[b].shape
+                )
+                sc = float(scores[b, k, i, j])
+                if sc > max(min_score, best[0] if best else -1.0):
+                    best = (
+                        sc, ci, float(th[b, k]),
+                        (int(i) - spec.n_linear) * spec.resolution,
+                        (int(j) - spec.n_linear) * spec.resolution,
+                    )
+    if best is None:
+        return None, 0.0, None, None
+    sc, ci, th_, ox, oy = best
+    pose = _np.array([ox, oy, th_])
     th0 = float(init_thetas[ci])
     cov = _np.asarray(
         window_cov(

@@ -334,3 +334,63 @@ class TestPallasInsert:
         ref = np.asarray(insert_rays(*args))
         pal = np.asarray(insert_rays_pallas(*args, interpret=True))
         np.testing.assert_array_equal(ref, pal)
+
+
+class TestBatchedPrunedMatching:
+    def test_batched_matches_sequential(self):
+        """The TPU chunk-batched pruned matcher must accept the same
+        closure (same candidate, score, pose, cov) as the sequential
+        path."""
+        sm, pyr = TestMatching()._setup()
+        from sparse_gslam_tpu.ops.grid import precompute_pyramid
+
+        pyr5 = precompute_pyramid(sm.probs, 5)
+        gt = np.array([0.4, -0.3, 0.1])
+        base = np.concatenate(
+            [
+                np.column_stack(
+                    [np.full(50, 4.0), np.linspace(-0.5, 2.5, 50)]
+                ),
+                np.column_stack(
+                    [np.linspace(0.0, 2.0, 40), np.full(40, -1.0)]
+                ),
+            ]
+        )
+        query = se2.apply(se2.inverse(gt), base)
+        spec = matching.search_spec(2.0, 0.6, 8.0, 0.1)
+        # three candidates: two decoys (shifted origins) + the real one
+        grids = [pyr5[0], pyr5[0], pyr5[0]]
+        pooled = [pyr5[4], pyr5[4], pyr5[4]]
+        import jax.numpy as jnp
+
+        origins = [
+            sm.origin + jnp.asarray([30.0, 30.0]),
+            sm.origin,
+            sm.origin + jnp.asarray([-25.0, 10.0]),
+        ]
+        thetas = [0.3, 0.0, -0.2]
+        seq = matching.match_candidates_pruned(
+            grids, pooled, origins, thetas, query, spec,
+            min_score=0.5, stride=16,
+        )
+        bat = matching.match_candidates_pruned_batched(
+            grids, pooled, origins, thetas, query, spec,
+            min_score=0.5, stride=16,
+        )
+        assert bat[0] == seq[0] == 1
+        assert abs(bat[1] - seq[1]) < 1e-5
+        np.testing.assert_allclose(bat[2], seq[2], atol=1e-6)
+        np.testing.assert_allclose(bat[3], seq[3], atol=1e-8)
+
+    def test_batched_rejects_below_min_score(self):
+        sm, pyr = TestMatching()._setup()
+        from sparse_gslam_tpu.ops.grid import precompute_pyramid
+
+        pyr5 = precompute_pyramid(sm.probs, 5)
+        query = np.random.default_rng(0).uniform(40, 60, (64, 2))
+        spec = matching.search_spec(2.0, 0.6, 8.0, 0.1)
+        ci, s, p, cov = matching.match_candidates_pruned_batched(
+            [pyr5[0]], [pyr5[4]], [sm.origin], [0.0], query, spec,
+            min_score=0.7, stride=16,
+        )
+        assert ci is None
