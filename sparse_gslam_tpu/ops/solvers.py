@@ -630,7 +630,7 @@ def _lm_apply(g: LMGraphData, dp, dl) -> LMGraphData:
 @precise
 def optimize_landmark_graph(
     g: LMGraphData, iterations: int = 15, tau: float = 1e-5,
-    tridiag_threshold: int = 128,
+    tridiag_threshold: int = 128, rtol: float = 1e-7,
 ):
     """Levenberg-Marquardt with g2o's damping schedule
     (OptimizationAlgorithmLevenberg): initial lambda = tau * max diag(H),
@@ -642,6 +642,13 @@ def optimize_landmark_graph(
     Linear-solve path is chosen statically by window size: dense Schur
     for small windows, block-tridiagonal + Woodbury (O(P)) for large
     ones (long closure-free stretches).
+
+    rtol > 0 enables early termination (lax.while_loop): stop once an
+    accepted step improves chi2 by less than rtol relatively (the g2o
+    levenberg terminateThreshold idea). The frontend warm-starts each
+    keyframe from the previous solution, so most ticks converge in a
+    few iterations instead of burning all `iterations`; rtol=0
+    restores the fixed-trip scan behavior exactly.
     """
     chi2_0, dof = lm_graph_chi2(g)
     use_tridiag = g.poses.shape[0] >= tridiag_threshold
@@ -662,8 +669,7 @@ def optimize_landmark_graph(
         )
     lam0 = tau * diag_max
 
-    def body(carry, _):
-        g_cur, chi2_cur, lam, ni = carry
+    def step(g_cur, chi2_cur, lam, ni):
         if use_tridiag:
             parts = _lm_tridiag_assemble(g_cur)
             bp, bl = parts[2], parts[4]
@@ -694,10 +700,41 @@ def optimize_landmark_graph(
             g_cur,
         )
         chi2_next = jnp.where(accept, chi2_new, chi2_cur)
-        return (g_next, chi2_next, lam_next, ni_next), chi2_next
+        rel_impr = jnp.where(
+            accept,
+            (chi2_cur - chi2_new) / jnp.maximum(chi2_cur, 1e-30),
+            jnp.inf,
+        )
+        return g_next, chi2_next, lam_next, ni_next, rel_impr
 
-    (g_out, chi2_out, _, _), _ = jax.lax.scan(
-        body, (g, chi2_0, lam0, 2.0), None, length=iterations
+    if rtol <= 0.0:
+
+        def body(carry, _):
+            g_cur, chi2_cur, lam, ni = carry
+            g_next, chi2_next, lam_next, ni_next, _ = step(
+                g_cur, chi2_cur, lam, ni
+            )
+            return (g_next, chi2_next, lam_next, ni_next), chi2_next
+
+        (g_out, chi2_out, _, _), _ = jax.lax.scan(
+            body, (g, chi2_0, lam0, 2.0), None, length=iterations
+        )
+        return g_out, chi2_out, dof
+
+    def wcond(carry):
+        _, _, _, _, it, done = carry
+        return (it < iterations) & jnp.logical_not(done)
+
+    def wbody(carry):
+        g_cur, chi2_cur, lam, ni, it, _ = carry
+        g_next, chi2_next, lam_next, ni_next, rel_impr = step(
+            g_cur, chi2_cur, lam, ni
+        )
+        done = (rel_impr < rtol) | (lam_next > 1e10)
+        return (g_next, chi2_next, lam_next, ni_next, it + 1, done)
+
+    g_out, chi2_out, _, _, _, _ = jax.lax.while_loop(
+        wcond, wbody, (g, chi2_0, lam0, 2.0, jnp.int32(0), jnp.bool_(False))
     )
     return g_out, chi2_out, dof
 
