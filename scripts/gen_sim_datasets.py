@@ -153,6 +153,9 @@ def main():
         write_carmen_log(os.path.join(out, f"{name}.log"), sim)
         t1, t2, rel = make_relations(sim)
         save_relations(os.path.join(out, f"{name}.relations"), t1, t2, rel)
+        from sparse_gslam_tpu.eval.closures import save_gt
+
+        save_gt(os.path.join(out, f"{name}.gt"), sim["times"], sim["gt"])
         with open(os.path.join(out, "slam.yaml"), "w") as f:
             f.write(
                 SLAM_YAML.format(

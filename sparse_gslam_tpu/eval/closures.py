@@ -1,0 +1,123 @@
+"""Loop-closure precision / recall against ground-truth trajectories.
+
+The reference evaluates closures only implicitly (through final ATE and
+the chi^2 pruning counters); this harness scores the detector itself on
+simulated worlds with exact ground truth (ROADMAP: "add precision/
+recall harness on simulated 4-beam worlds with known revisits"):
+
+- precision: an accepted closure (i, j, meas) is TRUE when its
+  endpoints are actually near each other in ground truth AND the
+  measured relative pose agrees with the ground-truth relative pose
+  within (trans_tol, rot_tol).
+- recall: ground-truth revisit events = maximal time segments during
+  which the vehicle is within `radius` of somewhere it visited at
+  least `min_time_sep` earlier; a segment counts as detected when any
+  accepted closure has an endpoint inside it.
+
+Ground truth is a `<name>.gt` file (one `time x y theta` line per
+frame) written by scripts/gen_sim_datasets.py next to the CARMEN log.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils import se2
+
+
+def save_gt(path: str, times, poses):
+    with open(path, "w") as f:
+        for t, p in zip(times, poses):
+            f.write(f"{t:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+
+
+def load_gt(path: str):
+    data = np.loadtxt(path, ndmin=2)
+    return data[:, 0], data[:, 1:4]
+
+
+def interp_gt(gt_times, gt_poses, t):
+    """Pose at time t by linear interpolation (angles via shortest
+    arc)."""
+    i = int(np.clip(np.searchsorted(gt_times, t), 1, len(gt_times) - 1))
+    t0, t1 = gt_times[i - 1], gt_times[i]
+    a = 0.0 if t1 == t0 else float((t - t0) / (t1 - t0))
+    p0, p1 = gt_poses[i - 1], gt_poses[i]
+    out = (1 - a) * p0 + a * p1
+    dth = se2.wrap_angle(p1[2] - p0[2])
+    out[2] = se2.wrap_angle(p0[2] + a * dth)
+    return out
+
+
+def revisit_segments(
+    gt_times, gt_poses, radius: float = 3.0, min_time_sep: float = 30.0
+):
+    """Maximal time segments [t_start, t_end] during which the pose is
+    within `radius` of a pose at least `min_time_sep` older."""
+    n = len(gt_times)
+    revisiting = np.zeros(n, bool)
+    for k in range(n):
+        old = gt_times < gt_times[k] - min_time_sep
+        if not old.any():
+            continue
+        d = np.linalg.norm(gt_poses[old, :2] - gt_poses[k, :2], axis=1)
+        revisiting[k] = bool((d < radius).any())
+    segments = []
+    start = None
+    for k in range(n):
+        if revisiting[k] and start is None:
+            start = gt_times[k]
+        elif not revisiting[k] and start is not None:
+            segments.append((start, gt_times[k - 1]))
+            start = None
+    if start is not None:
+        segments.append((start, gt_times[-1]))
+    return segments
+
+
+def closure_pr(
+    closures,  # list of (t_i, t_j, meas (3,)) accepted closures
+    gt_times,
+    gt_poses,
+    radius: float = 3.0,
+    min_time_sep: float = 30.0,
+    trans_tol: float = 0.5,
+    rot_tol: float = 0.2,
+):
+    """Returns dict with precision, recall, counts, and per-closure
+    verdicts."""
+    verdicts = []
+    tp = 0
+    for t_i, t_j, meas in closures:
+        gi = interp_gt(gt_times, gt_poses, t_i)
+        gj = interp_gt(gt_times, gt_poses, t_j)
+        near = np.linalg.norm(gi[:2] - gj[:2]) < radius
+        rel = se2.relative(gi, gj)
+        err = se2.relative(rel, np.asarray(meas, np.float64))
+        good = (
+            near
+            and np.linalg.norm(err[:2]) < trans_tol
+            and abs(se2.wrap_angle(err[2])) < rot_tol
+        )
+        verdicts.append(bool(good))
+        tp += bool(good)
+    precision = tp / len(closures) if closures else float("nan")
+
+    segments = revisit_segments(gt_times, gt_poses, radius, min_time_sep)
+    detected = 0
+    for t0, t1 in segments:
+        hit = any(
+            (t0 <= t_j <= t1) or (t0 <= t_i <= t1)
+            for t_i, t_j, _ in closures
+        )
+        detected += hit
+    recall = detected / len(segments) if segments else float("nan")
+    return dict(
+        precision=precision,
+        recall=recall,
+        n_closures=len(closures),
+        n_true=tp,
+        n_segments=len(segments),
+        n_detected=detected,
+        verdicts=verdicts,
+        segments=segments,
+    )

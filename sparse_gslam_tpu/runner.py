@@ -138,6 +138,34 @@ def main(argv=None):
             print(evaluate_files(prefix + ".result", rel))
         else:
             print(f"no relations file at {rel}; skipping eval")
+
+        gt_path = prefix + ".gt"
+        if (
+            os.path.exists(gt_path)
+            and system.backend is not None
+            and system.backend.closures
+        ):
+            from .eval.closures import closure_pr, load_gt
+
+            gt_times, gt_poses = load_gt(gt_path)
+            kfs = system.frontend.keyframes
+            triples = [
+                (
+                    kfs[c.i].odom_times[0],
+                    kfs[c.j].odom_times[0],
+                    c.meas,
+                )
+                for c in system.backend.closures
+                if c.active
+            ]
+            pr = closure_pr(triples, gt_times, gt_poses)
+            print(
+                f"closures: precision {pr['precision']:.2f} "
+                f"({pr['n_true']}/{pr['n_closures']} true), "
+                f"recall {pr['recall']:.2f} "
+                f"({pr['n_detected']}/{pr['n_segments']} revisit "
+                f"segments detected)"
+            )
     return 0
 
 

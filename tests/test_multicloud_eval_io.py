@@ -199,3 +199,68 @@ class TestEvalAndIO:
         assert len(frames) > 3000
         assert frames[0].ranges.shape == (4,)
         assert np.isfinite(frames[0].pose).all()
+
+
+class TestClosurePR:
+    def _circle_gt(self):
+        # two laps around a circle: every pose in lap 2 revisits lap 1
+        t = np.arange(0.0, 120.0, 0.5)
+        ang = 2 * np.pi * t / 60.0  # 60 s per lap
+        r = 5.0
+        poses = np.stack(
+            [r * np.cos(ang), r * np.sin(ang), ang + np.pi / 2], axis=1
+        )
+        poses[:, 2] = (poses[:, 2] + np.pi) % (2 * np.pi) - np.pi
+        return t, poses
+
+    def test_revisit_segments_two_laps(self):
+        from sparse_gslam_tpu.eval.closures import revisit_segments
+
+        t, poses = self._circle_gt()
+        segs = revisit_segments(t, poses, radius=1.0, min_time_sep=30.0)
+        # the whole second lap is one revisit segment
+        assert len(segs) == 1
+        # (starts slightly before the exact lap point: with radius 1.0
+        # the chord closes ~1.5 s early on a 5 m circle)
+        assert segs[0][0] >= 57.0 and segs[0][1] == t[-1]
+
+    def test_precision_and_recall(self):
+        from sparse_gslam_tpu.eval.closures import closure_pr
+        from sparse_gslam_tpu.utils import se2
+
+        t, poses = self._circle_gt()
+
+        def gt_at(time):
+            i = int(np.argmin(np.abs(t - time)))
+            return poses[i]
+
+        good = (10.0, 70.0, se2.relative(gt_at(10.0), gt_at(70.0)))
+        # wrong measurement at a true revisit -> counted false
+        bad_meas = (20.0, 80.0, np.array([3.0, 0.0, 1.0]))
+        # endpoints not actually near each other -> false
+        far = (10.0, 40.0, se2.relative(gt_at(10.0), gt_at(40.0)))
+        pr = closure_pr(
+            [good, bad_meas, far], t, poses, radius=1.0,
+            min_time_sep=30.0,
+        )
+        assert pr["verdicts"] == [True, False, False]
+        assert abs(pr["precision"] - 1.0 / 3.0) < 1e-9
+        assert pr["recall"] == 1.0  # the lone segment is detected
+
+    def test_no_closures_no_crash(self):
+        from sparse_gslam_tpu.eval.closures import closure_pr
+
+        t, poses = self._circle_gt()
+        pr = closure_pr([], t, poses, radius=1.0, min_time_sep=30.0)
+        assert np.isnan(pr["precision"]) and pr["n_segments"] >= 1
+        assert pr["recall"] == 0.0
+
+    def test_gt_roundtrip(self, tmp_path):
+        from sparse_gslam_tpu.eval.closures import load_gt, save_gt
+
+        t, poses = self._circle_gt()
+        p = str(tmp_path / "x.gt")
+        save_gt(p, t, poses)
+        t2, p2 = load_gt(p)
+        np.testing.assert_allclose(t2, t, atol=1e-5)
+        np.testing.assert_allclose(p2, poses, atol=1e-5)
