@@ -39,6 +39,14 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default="", help="save state here")
     ap.add_argument("--resume", default="", help="load state first")
     ap.add_argument(
+        "--prewarm", action="store_true", default=None,
+        help="parallel-compile expected jit shapes at startup "
+        "(default: on for non-cpu platforms)",
+    )
+    ap.add_argument(
+        "--no-prewarm", dest="prewarm", action="store_false",
+    )
+    ap.add_argument(
         "--platform", default="cpu",
         help="jax platform for solver kernels (cpu keeps float64)",
     )
@@ -65,6 +73,18 @@ def main(argv=None):
 
     system = SlamSystem(slam_cfg, ls_cfg, enable_backend=not args.no_backend)
     system.timing = TimingWriter(prefix)
+    do_prewarm = (
+        args.prewarm
+        if args.prewarm is not None
+        else args.platform != "cpu"
+    )
+    if do_prewarm:
+        # compile the bucket-ladder shapes concurrently while the frame
+        # loop starts; first real calls hit a warm cache instead of
+        # stalling ~60 s each through the remote-compile tunnel
+        from .utils.prewarm import prewarm
+
+        prewarm(slam_cfg)
     if args.resume:
         from .utils.checkpoint import load_checkpoint
 

@@ -1,0 +1,200 @@
+"""Parallel jit prewarming for TPU service mode (ROADMAP item 2).
+
+Through the axon remote-compile tunnel a fresh bucket shape costs up to
+~60 s; without prewarming, those compiles serialize inside the frame
+loop (measured on sim-office/TPU: a 60 s stall at the first keyframe's
+LM solve + ~30 s of matcher compiles spread over the first closures).
+Prewarming submits the bucket ladder's shapes to a thread pool at
+startup: the compile service processes them concurrently and the frame
+loop's first calls hit a warm cache. Everything here is best-effort --
+a failed prewarm task only means that shape compiles lazily later.
+"""
+from __future__ import annotations
+
+import sys
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def _lm_dummy(P, L, E):
+    import jax.numpy as jnp
+
+    from ..ops import solvers
+
+    poses = np.zeros((P, 3), np.float32)
+    poses[:4] = np.array(
+        [[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0]], np.float32
+    )
+    pose_valid = np.zeros(P, bool)
+    pose_valid[:4] = True
+    pose_fixed = np.zeros(P, bool)
+    pose_fixed[0] = True
+    odom_meas = np.zeros((P, 3), np.float32)
+    odom_meas[1:4, 0] = 1.0
+    odom_info = np.tile(np.eye(3, dtype=np.float32) * 10, (P, 1, 1))
+    odom_valid = np.zeros(P, bool)
+    odom_valid[1:4] = True
+    lms = np.zeros((L, 2), np.float32)
+    lms[0] = [2.0, 1.2]
+    lm_valid = np.zeros(L, bool)
+    lm_valid[0] = True
+    obs_pose = np.zeros(E, np.int32)
+    obs_lm = np.zeros(E, np.int32)
+    obs_meas = np.zeros((E, 2), np.float32)
+    obs_meas[:2] = [2.0, 1.2]
+    obs_info = np.tile(np.eye(2, dtype=np.float32) * 5, (E, 1, 1))
+    obs_valid = np.zeros(E, bool)
+    obs_valid[:2] = True
+    obs_pose[1] = 1
+    return solvers.LMGraphData(
+        *[
+            jnp.asarray(a)
+            for a in (
+                poses, pose_valid, pose_fixed, odom_meas, odom_info,
+                odom_valid, lms, lm_valid, obs_pose, obs_lm, obs_meas,
+                obs_info, obs_valid,
+            )
+        ]
+    )
+
+
+def _pg_dummy(N, C):
+    import jax.numpy as jnp
+
+    from ..ops import solvers
+
+    poses = np.zeros((N, 3), np.float32)
+    poses[:4, 0] = np.arange(4)
+    valid = np.zeros(N, bool)
+    valid[:4] = True
+    fixed = np.zeros(N, bool)
+    fixed[0] = True
+    chain_meas = np.zeros((N, 3), np.float32)
+    chain_meas[1:4, 0] = 1.0
+    chain_info = np.tile(np.eye(3, dtype=np.float32) * 10, (N, 1, 1))
+    chain_valid = np.zeros(N, bool)
+    chain_valid[1:4] = True
+    clo_i = np.zeros(C, np.int32)
+    clo_j = np.zeros(C, np.int32)
+    clo_meas = np.zeros((C, 3), np.float32)
+    clo_info = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+    clo_valid = np.zeros(C, bool)
+    return solvers.PoseGraphData(
+        *[
+            jnp.asarray(a)
+            for a in (
+                poses, valid, fixed, chain_meas, chain_info, chain_valid,
+                clo_i, clo_j, clo_meas, clo_info, clo_valid,
+            )
+        ]
+    )
+
+
+def build_tasks(config, ladder: int = 4):
+    """Callables that each force-compile one jitted shape the pipeline
+    will hit. `ladder` bounds how far up the pow2 bucket ladders we
+    reach ahead."""
+    import math
+
+    import jax.numpy as jnp
+
+    from ..models.frontend import _get_lm_solver
+    from ..models.backend import _get_pg_solver
+    from ..ops import matching
+
+    tasks = []
+
+    # frontend LM bucket ladder (P, L, E grow roughly together)
+    lm_shapes = []
+    for k in range(ladder):
+        P = 16 << k
+        for L in {16, max(16, P // 4)}:
+            for E in {P, 2 * P}:
+                lm_shapes.append((P, L, E))
+    for P, L, E in sorted(set(lm_shapes)):
+        tasks.append(
+            ("lm %d/%d/%d" % (P, L, E),
+             lambda P=P, L=L, E=E: _get_lm_solver()(_lm_dummy(P, L, E)))
+        )
+
+    # pose-graph solver ladder
+    for k in range(ladder):
+        N = 16 << k
+        tasks.append(
+            ("pg %d" % N,
+             lambda N=N: _get_pg_solver(config.dcs_phi)(_pg_dummy(N, 1)))
+        )
+
+    # matcher shapes for this config's grid geometry
+    extent = (
+        config.submap_trajectory_length + 2.0 * config.range_max + 2.0
+    )
+    size = int(math.ceil(extent / config.submap_resolution / 64.0) * 64)
+    fft = size + 128
+    n_lin = int(
+        math.ceil(config.linear_search_window / config.submap_resolution)
+    )
+    grid = jnp.zeros((size, size), jnp.float32)
+    origin = jnp.zeros(2, jnp.float32)
+    pts = jnp.zeros((256, 2), jnp.float32)
+    valid = jnp.zeros(256, bool)
+    stride = 1 << (max(1, config.branch_and_bound_depth) - 1)
+
+    def warm_bounds(csize):
+        spec_th = jnp.zeros((csize, 129), jnp.float32)
+        matching.rotation_upper_bounds_batch(
+            jnp.zeros((csize, size, size), jnp.float32),
+            jnp.zeros((csize, 2), jnp.float32), spec_th, pts, valid,
+            float(config.submap_resolution), n_lin, size, stride,
+        )
+
+    for csize in (1, 2, 4, 8, 16):
+        tasks.append(("bounds c%d" % csize,
+                      lambda c=csize: warm_bounds(c)))
+
+    def warm_corr(Rb):
+        matching.correlate_rotations(
+            grid, origin, pts, valid, jnp.zeros(Rb, jnp.float32),
+            float(config.submap_resolution), n_lin, size, fft,
+        )
+
+    for Rb in (8, 16, 32, 64, 128, 256):
+        tasks.append(("corr R%d" % Rb, lambda R=Rb: warm_corr(R)))
+
+    tasks.append(
+        ("window_cov",
+         lambda: matching.window_cov(
+             grid, origin, pts, valid, jnp.zeros(3, jnp.float32),
+             jnp.float32(0.0), jnp.float32(0.01), jnp.float32(-0.5),
+             jnp.float32(0.5), float(config.submap_resolution), size,
+         ))
+    )
+    return tasks
+
+
+def prewarm(config, threads: int = 8, ladder: int = 4, wait: bool = False):
+    """Kick off parallel compilation of the expected jit shapes.
+    Returns the executor (shut down lazily); wait=True blocks until
+    all shapes are compiled (useful for benchmarking / tests)."""
+    tasks = build_tasks(config, ladder)
+    ex = ThreadPoolExecutor(max_workers=threads)
+
+    def run(name, fn):
+        try:
+            fn()
+        except Exception as e:  # best-effort
+            print(f"prewarm {name}: {e!r}", file=sys.stderr)
+
+    futs = [ex.submit(run, name, fn) for name, fn in tasks]
+    print(
+        f"prewarm: {len(futs)} shapes compiling on {threads} threads",
+        file=sys.stderr,
+    )
+    if wait:
+        for f in futs:
+            f.result()
+        ex.shutdown()
+    else:
+        ex.shutdown(wait=False)
+    return futs

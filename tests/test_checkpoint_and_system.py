@@ -88,3 +88,18 @@ class TestEndToEnd:
         stats = analyze(prefix)
         assert stats.mean_data_interval > 0
         assert stats.mean_frontend >= 0
+
+
+class TestPrewarm:
+    def test_prewarm_compiles_without_error(self):
+        from sparse_gslam_tpu.utils.config import SlamConfig
+        from sparse_gslam_tpu.utils.prewarm import build_tasks, prewarm
+
+        cfg = SlamConfig()
+        tasks = build_tasks(cfg, ladder=1)
+        assert len(tasks) > 5
+        # run a couple of representative tasks synchronously (CPU)
+        names = [n for n, _ in tasks]
+        assert any(n.startswith("lm") for n in names)
+        assert any(n.startswith("pg") for n in names)
+        prewarm(cfg, threads=4, ladder=1, wait=True)
