@@ -35,13 +35,15 @@ from .range_data import construct_multicloud
 _jitted_pg_solver = {}
 
 
-def _get_pg_solver(phi: float):
-    key = float(phi)
+def _get_pg_solver(phi: float, iterations: int = 20, gnc_scale: float = 1.0):
+    key = (float(phi), int(iterations), float(gnc_scale))
     if key not in _jitted_pg_solver:
         import jax
 
         _jitted_pg_solver[key] = jax.jit(
-            lambda g: solvers.optimize_pose_graph(g, key, 20)
+            lambda g: solvers.optimize_pose_graph(
+                g, key[0], key[1], gnc_init_scale=key[2]
+            )
         )
     return _jitted_pg_solver[key]
 
@@ -415,11 +417,11 @@ class SubmapLoopCloser:
             jnp.asarray(clo_info), jnp.asarray(clo_valid),
         )
 
-    def optimize(self, iterations: int = 20):
+    def optimize(self, iterations: int = 20, gnc_scale: float = 1.0):
         if len(self.pg_poses) < 2:
             return
         g = self._build_pg_data()
-        g_opt = _get_pg_solver(self.config.dcs_phi)(g)
+        g_opt = _get_pg_solver(self.config.dcs_phi, iterations, gnc_scale)(g)
         new_poses = np.asarray(g_opt.poses)
         for k in range(len(self.pg_poses)):
             self.pg_poses[k] = new_poses[k]

@@ -166,7 +166,10 @@ class SlamSystem:
         self.backend.precompute()
         self.backend.match()
         self.backend.prune_false_closures()
-        self.backend.optimize(iterations=20)
+        self.backend.optimize(
+            iterations=self.config.final_opt_iterations,
+            gnc_scale=self.config.final_gnc_scale,
+        )
 
     # ------------------------------------------------------------------
     def write_result(self, path: str):

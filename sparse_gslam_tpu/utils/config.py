@@ -99,6 +99,14 @@ class SlamConfig:
     std_rpcm: float = 0.0001
 
     # --- new-engine-only knobs (not in the reference schema) ---
+    # graduated non-convexity for the FINAL pose-graph optimization:
+    # anneal the DCS phi from phi*gnc_init_scale down to phi
+    # (ops.solvers.gnc_phi_schedule). 1.0 = reference fixed-phi
+    # behavior. The final optimize is where GNC matters: incremental
+    # closures are well-initialized, but the final pass re-evaluates
+    # ALL closures and a poor basin rejects good ones.
+    final_gnc_scale: float = 1.0
+    final_opt_iterations: int = 20
     # preallocation bucket sizes for fixed-shape jit state
     max_keyframes: int = 4096
     max_landmarks: int = 1024
