@@ -229,3 +229,23 @@ class TestGNCAndRefine:
         e0 = np.abs(np.asarray(base.poses[:500], np.float64) - ref[:500]).max()
         e1 = np.abs(np.asarray(ref_g.poses[:500], np.float64) - ref[:500]).max()
         assert e1 <= e0 + 1e-9
+
+    def test_gnc_sharded_matches_blocked(self):
+        from jax.sharding import Mesh
+        from sparse_gslam_tpu.eval.synthetic_graphs import make_chain_graph
+
+        devs = jax.devices("cpu")
+        mesh = Mesh(np.array(devs[:4]), ("blocks",))
+        g, _ = make_chain_graph(
+            n_poses=250, n_closures=8, pad_to=256, drift=0.02, seed=3
+        )
+        gb = dist_solver.optimize_partitioned(
+            g, phi=1.0, n_blocks=4, iterations=15, gnc_init_scale=1e6
+        )
+        gs = dist_solver.optimize_partitioned(
+            g, phi=1.0, n_blocks=4, iterations=15, gnc_init_scale=1e6,
+            mesh=mesh,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gs.poses), np.asarray(gb.poses), atol=1e-8
+        )
