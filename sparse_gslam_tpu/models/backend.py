@@ -383,7 +383,7 @@ class SubmapLoopCloser:
         import jax.numpy as jnp
 
         n = len(self.pg_poses)
-        N = _bucket(n)
+        N = _bucket(n, self.config.bucket_min_pg)
         C = _bucket(max(len(self.closures), 1))
         poses = np.zeros((N, 3))
         valid = np.zeros(N, bool)

@@ -43,6 +43,54 @@ def _get_lm_solver():
     return _jitted_lm_solver
 
 
+_packed_lm_cache: dict = {}
+
+
+def _get_lm_solver_packed(P: int, L: int, E: int):
+    """Packed-transfer LM solve: the 13 LMGraphData arrays ride in 3
+    host->device puts (floats / int32 / bool) and unpack by static
+    slicing on device. Through the TPU tunnel each put costs ~2.4 ms,
+    so 13 puts were 31 ms of an 85 ms keyframe tick; 3 puts cut that
+    to ~7 ms. Returns (poses, lms, chi2, dof)."""
+    key = (P, L, E)
+    if key not in _packed_lm_cache:
+        import jax
+        import jax.numpy as jnp
+
+        def run(fbuf, ibuf, bbuf):
+            o = [0]
+
+            def take(n, shape):
+                a = fbuf[o[0] : o[0] + n]  # static slice (python ints)
+                o[0] += n
+                return a.reshape(shape)
+
+            poses = take(P * 3, (P, 3))
+            odom_meas = take(P * 3, (P, 3))
+            odom_info = take(P * 9, (P, 3, 3))
+            lms = take(L * 2, (L, 2))
+            obs_meas = take(E * 2, (E, 2))
+            obs_info = take(E * 4, (E, 2, 2))
+            obs_pose = ibuf[:E]
+            obs_lm = ibuf[E : 2 * E]
+            b = bbuf
+            pose_valid = b[:P]
+            pose_fixed = b[P : 2 * P]
+            odom_valid = b[2 * P : 3 * P]
+            lm_valid = b[3 * P : 3 * P + L]
+            obs_valid = b[3 * P + L : 3 * P + L + E]
+            g = solvers.LMGraphData(
+                poses, pose_valid, pose_fixed, odom_meas, odom_info,
+                odom_valid, lms, lm_valid, obs_pose, obs_lm, obs_meas,
+                obs_info, obs_valid,
+            )
+            g_opt, chi2, dof = solvers.optimize_landmark_graph(g, 15)
+            return g_opt.poses, g_opt.lms, chi2, dof
+
+        _packed_lm_cache[key] = jax.jit(run)
+    return _packed_lm_cache[key]
+
+
 def _bucket(n: int, minimum: int = 16) -> int:
     b = minimum
     while b < n:
@@ -305,9 +353,10 @@ class Frontend:
         n_lms = len(lm_map)
         n_edges = len(self.obs_edges)
 
-        P = _bucket(n_poses)
-        L = _bucket(max(n_lms, 1))
-        E = _bucket(max(n_edges, 1))
+        cfg = self.config
+        P = _bucket(n_poses, cfg.bucket_min_poses)
+        L = _bucket(max(n_lms, 1), cfg.bucket_min_lms)
+        E = _bucket(max(n_edges, 1), cfg.bucket_min_edges)
 
         poses = np.zeros((P, 3))
         pose_valid = np.zeros(P, bool)
@@ -343,18 +392,21 @@ class Frontend:
             obs_info[k] = e.info
             obs_valid[k] = True
 
-        g = solvers.LMGraphData(
-            jnp.asarray(poses), jnp.asarray(pose_valid),
-            jnp.asarray(pose_fixed), jnp.asarray(odom_meas),
-            jnp.asarray(odom_info), jnp.asarray(odom_valid),
-            jnp.asarray(lms), jnp.asarray(lm_valid),
-            jnp.asarray(obs_pose), jnp.asarray(obs_lm),
-            jnp.asarray(obs_meas), jnp.asarray(obs_info),
-            jnp.asarray(obs_valid),
+        fbuf = np.concatenate(
+            [
+                poses.ravel(), odom_meas.ravel(), odom_info.ravel(),
+                lms.ravel(), obs_meas.ravel(), obs_info.ravel(),
+            ]
         )
-        g_opt, chi2, dof = _get_lm_solver()(g)
-        new_poses = np.asarray(g_opt.poses)
-        new_lms = np.asarray(g_opt.lms)
+        ibuf = np.concatenate([obs_pose, obs_lm]).astype(np.int32)
+        bbuf = np.concatenate(
+            [pose_valid, pose_fixed, odom_valid, lm_valid, obs_valid]
+        )
+        new_poses_d, new_lms_d, chi2, dof = _get_lm_solver_packed(
+            P, L, E
+        )(jnp.asarray(fbuf), jnp.asarray(ibuf), jnp.asarray(bbuf))
+        new_poses = np.asarray(new_poses_d)
+        new_lms = np.asarray(new_lms_d)
         for i in range(n_poses):
             self.keyframes[ws + i].estimate = new_poses[i]
         for lid, k in lm_map.items():

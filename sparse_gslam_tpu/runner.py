@@ -73,6 +73,15 @@ def main(argv=None):
 
     system = SlamSystem(slam_cfg, ls_cfg, enable_backend=not args.no_backend)
     system.timing = TimingWriter(prefix)
+    if args.platform != "cpu":
+        # collapse the jit bucket ladders: every distinct shape costs
+        # up to ~60 s through the remote-compile tunnel, and at these
+        # sizes the solves are latency-bound, so bigger uniform
+        # buckets are strictly better (see SlamConfig.bucket_min_*)
+        slam_cfg.bucket_min_poses = max(slam_cfg.bucket_min_poses, 64)
+        slam_cfg.bucket_min_lms = max(slam_cfg.bucket_min_lms, 32)
+        slam_cfg.bucket_min_edges = max(slam_cfg.bucket_min_edges, 256)
+        slam_cfg.bucket_min_pg = max(slam_cfg.bucket_min_pg, 128)
     do_prewarm = (
         args.prewarm
         if args.prewarm is not None

@@ -107,6 +107,16 @@ class SlamConfig:
     # ALL closures and a poor basin rejects good ones.
     final_gnc_scale: float = 1.0
     final_opt_iterations: int = 20
+    # jit bucket minima. On CPU small buckets are fastest; through the
+    # TPU remote-compile tunnel every distinct shape costs up to ~60 s
+    # to compile, while the solve itself is latency-bound (a P=64 LM
+    # solve costs the same wall time as P=16), so the runner raises
+    # these on non-cpu platforms to collapse the bucket ladder into
+    # one or two shapes per kernel.
+    bucket_min_poses: int = 16
+    bucket_min_lms: int = 16
+    bucket_min_edges: int = 16
+    bucket_min_pg: int = 16
     # preallocation bucket sizes for fixed-shape jit state
     max_keyframes: int = 4096
     max_landmarks: int = 1024

@@ -99,28 +99,57 @@ def build_tasks(config, ladder: int = 4):
 
     import jax.numpy as jnp
 
-    from ..models.frontend import _get_lm_solver
+    from ..models.frontend import _get_lm_solver_packed
     from ..models.backend import _get_pg_solver
     from ..ops import matching
 
     tasks = []
 
-    # frontend LM bucket ladder (P, L, E grow roughly together)
+    def warm_lm(P, L, E):
+        g = _lm_dummy(P, L, E)
+        a = {k: np.asarray(v) for k, v in g._asdict().items()}
+        fbuf = np.concatenate(
+            [
+                a["poses"].ravel(), a["odom_meas"].ravel(),
+                a["odom_info"].ravel(), a["lms"].ravel(),
+                a["obs_meas"].ravel(), a["obs_info"].ravel(),
+            ]
+        )
+        ibuf = np.concatenate([a["obs_pose"], a["obs_lm"]]).astype(
+            np.int32
+        )
+        bbuf = np.concatenate(
+            [
+                a["pose_valid"], a["pose_fixed"], a["odom_valid"],
+                a["lm_valid"], a["obs_valid"],
+            ]
+        )
+        _get_lm_solver_packed(P, L, E)(
+            jnp.asarray(fbuf), jnp.asarray(ibuf), jnp.asarray(bbuf)
+        )
+
+    # frontend LM bucket ladder from the configured minima upward (the
+    # configured minimum is what the whole run uses until the window
+    # outgrows it); ORDER MATTERS: the compile service is a shared
+    # queue, so the shapes needed first go first
+    Pm = config.bucket_min_poses
+    Lm = config.bucket_min_lms
+    Em = config.bucket_min_edges
     lm_shapes = []
     for k in range(ladder):
-        P = 16 << k
-        for L in {16, max(16, P // 4)}:
-            for E in {P, 2 * P}:
-                lm_shapes.append((P, L, E))
-    for P, L, E in sorted(set(lm_shapes)):
+        lm_shapes.append(
+            (Pm << k, max(Lm, (Pm << k) // 4) if k else Lm,
+             max(Em, (Pm << k) * 4) if k else Em)
+        )
+    for P, L, E in lm_shapes:
         tasks.append(
             ("lm %d/%d/%d" % (P, L, E),
-             lambda P=P, L=L, E=E: _get_lm_solver()(_lm_dummy(P, L, E)))
+             lambda P=P, L=L, E=E: warm_lm(P, L, E))
         )
 
     # pose-graph solver ladder
-    for k in range(ladder):
-        N = 16 << k
+    for k in range(max(ladder - 1, 1)):
+        N = config.bucket_min_pg << k
         tasks.append(
             ("pg %d" % N,
              lambda N=N: _get_pg_solver(config.dcs_phi)(_pg_dummy(N, 1)))
@@ -173,7 +202,7 @@ def build_tasks(config, ladder: int = 4):
     return tasks
 
 
-def prewarm(config, threads: int = 8, ladder: int = 4, wait: bool = False):
+def prewarm(config, threads: int = 4, ladder: int = 3, wait: bool = False):
     """Kick off parallel compilation of the expected jit shapes.
     Returns the executor (shut down lazily); wait=True blocks until
     all shapes are compiled (useful for benchmarking / tests)."""
