@@ -47,6 +47,12 @@ def main(argv=None):
         "--no-prewarm", dest="prewarm", action="store_false",
     )
     ap.add_argument(
+        "--profile", default="",
+        help="write a jax.profiler trace of the run to this directory "
+        "(view with tensorboard / xprof; kernel-level speed-of-light "
+        "analysis, SURVEY.md §5 tracing)",
+    )
+    ap.add_argument(
         "--platform", default="cpu",
         help="jax platform for solver kernels (cpu keeps float64)",
     )
@@ -100,6 +106,8 @@ def main(argv=None):
         load_checkpoint(args.resume, system)
         print(f"resumed from {args.resume}")
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     t0 = time.time()
     n = 0
     if args.realtime:
@@ -123,6 +131,9 @@ def main(argv=None):
                 )
         system.final_cleanup()
     wall = time.time() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile}")
     if args.checkpoint:
         from .utils.checkpoint import save_checkpoint
 
