@@ -64,6 +64,15 @@ class SepGraph(NamedTuple):
     clo_meas: jnp.ndarray  # (C, 3)
     clo_info: jnp.ndarray  # (C, 3, 3)
     clo_valid: jnp.ndarray  # (C,)
+    # compact (block, slot) enumerations (see PartitionPlan)
+    pair_block: jnp.ndarray  # (Q,)
+    pair_ki: jnp.ndarray
+    pair_kj: jnp.ndarray
+    pair_si: jnp.ndarray
+    pair_sj: jnp.ndarray
+    single_block: jnp.ndarray  # (Q2,)
+    single_k: jnp.ndarray
+    single_s: jnp.ndarray
 
 
 def split_graph(g: PoseGraphData, plan: PartitionPlan):
@@ -93,6 +102,14 @@ def split_graph(g: PoseGraphData, plan: PartitionPlan):
         clo_meas=g.clo_meas,
         clo_info=g.clo_info,
         clo_valid=g.clo_valid,
+        pair_block=jnp.asarray(plan.pair_block),
+        pair_ki=jnp.asarray(plan.pair_ki),
+        pair_kj=jnp.asarray(plan.pair_kj),
+        pair_si=jnp.asarray(plan.pair_si),
+        pair_sj=jnp.asarray(plan.pair_sj),
+        single_block=jnp.asarray(plan.single_block),
+        single_k=jnp.asarray(plan.single_k),
+        single_s=jnp.asarray(plan.single_s),
     )
     return bg, sg
 
@@ -432,6 +449,41 @@ def _locals_to_global(S_base, b_base, loc_sep, S_loc, b_loc):
     return S_out, b_out
 
 
+def _locals_to_global_compact(S_base, b_base, sg: SepGraph, S_loc, b_loc):
+    """Compact-pair variant of _locals_to_global for the single-chip
+    driver: ~90% of the (P, K, K) local-pair lattice is padding, and
+    TPU scatters pay per update whether dropped or not (measured
+    3.2 ms dense vs the compact list's ~4k real blocks). The valid
+    (block, ki, kj) -> (si, sj) enumeration is static host data
+    (PartitionPlan.pair_*). The sharded driver keeps the dense
+    scatter: its S_loc carries only the device-local blocks, while
+    these pair lists are global."""
+    P = S_loc.shape[0]
+    K = S_loc.shape[1] // 3
+    V = S_loc.reshape(P, K, 3, K, 3)
+    pb = jnp.maximum(sg.pair_block, 0)
+    ok = sg.pair_block >= 0
+    vals = V[pb, jnp.maximum(sg.pair_ki, 0), :,
+             jnp.maximum(sg.pair_kj, 0), :]  # (Q, 3, 3)
+    S_out = _scatter_blocks(
+        S_base, jnp.where(ok, sg.pair_si, -1),
+        jnp.where(ok, sg.pair_sj, -1), vals,
+    )
+    bv = b_loc.reshape(P, K, 3)
+    ok2 = sg.single_block >= 0
+    bvals = bv[jnp.maximum(sg.single_block, 0),
+               jnp.maximum(sg.single_k, 0)]  # (Q2, 3)
+    S_dim = b_base.shape[0] // 3
+    idx = jnp.where(ok2, sg.single_s, S_dim)
+    b_out = (
+        b_base.reshape(-1, 3)
+        .at[idx]
+        .add(jnp.where(ok2[:, None], bvals, 0.0), mode="drop")
+        .reshape(-1)
+    )
+    return S_out, b_out
+
+
 # ---------------------------------------------------------------------------
 # single-chip driver: vmap over blocks
 # ---------------------------------------------------------------------------
@@ -471,8 +523,8 @@ def optimize_pose_graph_blocked(
         sep_free = jnp.repeat(sg.sep_valid, 3)
         Hss_c, bs_c = _closure_system(sep_poses, sg, phi, S)
         S_base = Hss_c + jnp.where(sep_free, 1e-12, 1.0) * eye
-        S_dense, rhs_s = _locals_to_global(
-            S_base, bs_c, bg.loc_sep, Hss - Sc, bs - rc
+        S_dense, rhs_s = _locals_to_global_compact(
+            S_base, bs_c, sg, Hss - Sc, bs - rc
         )
         S_dense = jnp.where(
             sep_free[:, None] & sep_free[None, :], S_dense, eye
@@ -634,8 +686,8 @@ def gn_refine_delta_blocked(
     sep_free = jnp.repeat(sg.sep_valid, 3)
     Hss_c, _ = _closure_system(sep_poses, sg, phi, S)
     S_base = Hss_c + jnp.where(sep_free, 1e-12, 1.0) * eye
-    S_dense, rhs_s = _locals_to_global(
-        S_base, bs_ext.astype(dt), bg.loc_sep, Hss - Sc, bs - rc
+    S_dense, rhs_s = _locals_to_global_compact(
+        S_base, bs_ext.astype(dt), sg, Hss - Sc, bs - rc
     )
     S_dense = jnp.where(sep_free[:, None] & sep_free[None, :], S_dense, eye)
     rhs_s = jnp.where(sep_free, rhs_s, 0.0)

@@ -40,6 +40,20 @@ class PartitionPlan(NamedTuple):
     clo_sep_j: np.ndarray
     loc_sep: np.ndarray
     sep_local_id: np.ndarray
+    # compact (block, local-slot) enumerations for the Schur scatter:
+    # most of the (P, K, K) local-pair lattice is padding (-1 slots);
+    # these list only the real entries, pow2-padded with -1. pair_*:
+    # every ordered slot pair within a block (the (3K,3K) local Schur
+    # block at (ki, kj) goes to global (si, sj)); single_*: every
+    # (block, slot) for the rhs accumulation.
+    pair_block: np.ndarray  # (Q,)
+    pair_ki: np.ndarray
+    pair_kj: np.ndarray
+    pair_si: np.ndarray
+    pair_sj: np.ndarray
+    single_block: np.ndarray  # (Q2,)
+    single_k: np.ndarray
+    single_s: np.ndarray
 
 
 def make_partition(
@@ -103,7 +117,28 @@ def make_partition(
             pose_idx = int(sep_pose[slot])
             if pose_idx // M == b:
                 sep_local_id[pose_idx] = li
+    pairs = []
+    singles = []
+    for b, slots in enumerate(per_block):
+        for ki, si in enumerate(slots):
+            singles.append((b, ki, si))
+            for kj, sj in enumerate(slots):
+                pairs.append((b, ki, kj, si, sj))
+
+    def _pad(rows, width):
+        Q = 8
+        while Q < max(len(rows), 1):
+            Q *= 2
+        out = np.full((Q, width), -1, np.int32)
+        if rows:
+            out[: len(rows)] = rows
+        return out
+
+    pr = _pad(pairs, 5)
+    sg = _pad(singles, 3)
     return PartitionPlan(
         n_blocks, M, sep_pose, sep_valid, sep_id_of_pose,
         clo_sep_i, clo_sep_j, loc_sep, sep_local_id,
+        pr[:, 0], pr[:, 1], pr[:, 2], pr[:, 3], pr[:, 4],
+        sg[:, 0], sg[:, 1], sg[:, 2],
     )
