@@ -93,7 +93,7 @@ def main():
     g_big, _ = make_chain_graph(
         n_poses=16000, n_closures=256, pad_to=16384, dtype=np.float32
     )
-    tpu_big = time_tpu(g_big, n_blocks=128, reps=3)
+    tpu_big = time_tpu(g_big, n_blocks=128, reps=10)
     native_big = time_native(g_big, iterations=3)
     log(
         f"production scale (N=16384, C=256): tpu {tpu_big:.0f} it/s, "
