@@ -82,15 +82,22 @@ def closure_pr(
     min_time_sep: float = 30.0,
     trans_tol: float = 0.5,
     rot_tol: float = 0.2,
+    match_radius: float = 6.0,
 ):
     """Returns dict with precision, recall, counts, and per-closure
-    verdicts."""
+    verdicts.
+
+    `radius` defines recall's revisit segments; a closure's TRUE
+    verdict uses the looser `match_radius` (the matcher legitimately
+    closes across max_match_distance ~5 m submap separations -- what
+    makes a closure false is a wrong MEASUREMENT, judged by
+    trans_tol/rot_tol against the ground-truth relative pose)."""
     verdicts = []
     tp = 0
     for t_i, t_j, meas in closures:
         gi = interp_gt(gt_times, gt_poses, t_i)
         gj = interp_gt(gt_times, gt_poses, t_j)
-        near = np.linalg.norm(gi[:2] - gj[:2]) < radius
+        near = np.linalg.norm(gi[:2] - gj[:2]) < match_radius
         rel = se2.relative(gi, gj)
         err = se2.relative(rel, np.asarray(meas, np.float64))
         good = (

@@ -240,7 +240,7 @@ class TestClosurePR:
         # endpoints not actually near each other -> false
         far = (10.0, 40.0, se2.relative(gt_at(10.0), gt_at(40.0)))
         pr = closure_pr(
-            [good, bad_meas, far], t, poses, radius=1.0,
+            [good, bad_meas, far], t, poses, radius=1.0, match_radius=1.0,
             min_time_sep=30.0,
         )
         assert pr["verdicts"] == [True, False, False]
