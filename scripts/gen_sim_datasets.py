@@ -26,6 +26,8 @@ import numpy as np
 from sparse_gslam_tpu.eval.simulate import (
     SimConfig,
     generate_dataset,
+    killian_waypoints,
+    killian_world,
     rect_room_world,
 )
 
@@ -129,6 +131,14 @@ def main():
                 odom_trans_noise=0.025, odom_rot_noise=0.02,
             ),
             scan_size=11, multicloud_size=176,
+        ),
+        "sim-killian": dict(
+            cfg=SimConfig(
+                n_beams=180, range_max=10.0, laps=2, seed=13,
+                odom_trans_noise=0.015, odom_rot_noise=0.01,
+            ),
+            scan_size=11, multicloud_size=176,
+            walls=killian_world(), waypoints=killian_waypoints(),
         ),
         "sim-corridor": dict(
             cfg=SimConfig(

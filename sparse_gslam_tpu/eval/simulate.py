@@ -76,6 +76,59 @@ def loop_waypoints():
     )
 
 
+def killian_world():
+    """A long-corridor network in the spirit of mit-killian: a 5 m
+    ring corridor around an 84x54 m block with a transverse corridor
+    splitting it into two loops (figure-eight revisits). Exercises the
+    large-pose-graph regime (config 3 of BASELINE.json): ~2k keyframes
+    over ~800 m of travel with long closure-free stretches."""
+    w = []
+
+    def box(x0, y0, x1, y1):
+        w.extend(
+            [
+                ((x0, y0), (x1, y0)),
+                ((x1, y0), (x1, y1)),
+                ((x1, y1), (x0, y1)),
+                ((x0, y1), (x0, y0)),
+            ]
+        )
+
+    box(0, 0, 84, 54)  # outer shell
+    # inner block with gaps at the transverse corridor (x in [40, 44])
+    w.append(((10, 10), (40, 10)))
+    w.append(((44, 10), (74, 10)))
+    w.append(((10, 44), (40, 44)))
+    w.append(((44, 44), (74, 44)))
+    w.append(((10, 10), (10, 44)))
+    w.append(((74, 10), (74, 44)))
+    # transverse corridor walls
+    w.append(((40, 10), (40, 44)))
+    w.append(((44, 10), (44, 44)))
+    # a few alcoves/features so corridors aren't featureless
+    w.append(((20, 0), (20, 3)))
+    w.append(((60, 54), (60, 51)))
+    w.append(((84, 20), (81, 20)))
+    w.append(((0, 34), (3, 34)))
+    return np.array(w, dtype=np.float64)
+
+
+def killian_waypoints():
+    """Figure-eight + full-ring tour: both loops traversed and the
+    start corridor revisited multiple times per lap."""
+    return np.array(
+        [
+            (5, 5), (22, 5), (42, 5), (60, 5), (79, 5),
+            (79, 27), (79, 49), (60, 49), (42, 49),
+            (42, 27), (42, 12), (42, 5),
+            (22, 5), (5, 5), (5, 27), (5, 49),
+            (22, 49), (42, 49), (42, 27), (42, 5),
+            (60, 5), (79, 5),
+        ],
+        dtype=np.float64,
+    )
+
+
 def ray_cast(pose, angles, walls, range_max):
     """Batch ray-segment intersection. pose (3,), angles (B,) body-frame
     beam angles, walls (W,2,2). Returns ranges (B,)."""
