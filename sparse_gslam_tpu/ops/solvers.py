@@ -197,7 +197,7 @@ def inv3(m):
     return jnp.stack(rows, axis=-2) * inv_det[..., None, None]
 
 
-def tridiag_solve(D, O, rhs):
+def tridiag_solve(D, O, rhs, unroll: int = 1):
     """Solve a block-tridiagonal SPD system (3x3 blocks) for multiple
     right-hand sides via block LDL^T with a forward/backward lax.scan.
 
@@ -205,6 +205,10 @@ def tridiag_solve(D, O, rhs):
     H[i-1, i] coupling block (O[0] ignored); rhs: (P, 3, R).
     Returns x (P, 3, R). O(P) -- replaces the dense (3P)^3 Cholesky for
     chain-structured systems (the landmark-graph pose chain).
+
+    unroll > 1 unrolls the scans (fewer loop trips; XLA fuses across
+    the unrolled steps) -- useful when each step is tiny and the scan
+    is latency-bound (the vmapped partitioned-solver interior solve).
     """
     P = D.shape[0]
     O = O.at[0].set(0.0)
@@ -220,7 +224,7 @@ def tridiag_solve(D, O, rhs):
 
     R = rhs.shape[-1]
     init = (jnp.zeros((3, 3), D.dtype), jnp.zeros((3, R), D.dtype))
-    _, (S_invs, ys) = jax.lax.scan(fwd, init, (D, O, rhs))
+    _, (S_invs, ys) = jax.lax.scan(fwd, init, (D, O, rhs), unroll=unroll)
 
     def bwd(x_next, inp):
         S_inv, y, O_next = inp
@@ -235,6 +239,7 @@ def tridiag_solve(D, O, rhs):
         jnp.zeros((3, R), D.dtype),
         (S_invs, ys, O_next),
         reverse=True,
+        unroll=unroll,
     )
     return xs
 

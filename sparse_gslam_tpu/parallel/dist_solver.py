@@ -26,6 +26,7 @@ SURVEY.md §2.7); the design follows SURVEY.md §7 / BASELINE.json.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -333,7 +334,13 @@ def _closure_system(sep_poses, sg: SepGraph, phi, S):
 # 5.4 ms, cr 6.4 ms (each CR level's full-array rewrites cost more
 # HBM traffic than the scan steps it removes), dense 22.3 ms -- the
 # scan wins once assembly no longer dominates.
-INTERIOR_SOLVE = "tridiag"
+INTERIOR_SOLVE = os.environ.get("SLAM_INTERIOR_SOLVE", "tridiag")
+# lax.scan unroll factor for the tridiag LDL scans (latency-bound:
+# each step is tiny vmapped 3x3 math; unrolling lets XLA fuse across
+# steps). Overridable for experiments via SLAM_INTERIOR_UNROLL.
+INTERIOR_UNROLL = int(os.environ.get("SLAM_INTERIOR_UNROLL", "1"))
+# hybrid CR: reduce until this many blocks remain, then LDL-scan them
+CR_MINSEQ = int(os.environ.get("SLAM_CR_MINSEQ", "1"))
 
 
 def _block_gn_pieces(block_idx, blk, prev_last_pose, S, b_ext=None):
@@ -367,10 +374,11 @@ def _block_gn_pieces(block_idx, blk, prev_last_pose, S, b_ext=None):
         Os = Ob * s_prev[:, :, None] * sdiag[:, None, :]
         R = rhs.shape[1]
         rhs_s = rhs.reshape(M, 3, R) * sdiag[:, :, None]
-        solve = (
-            tridiag_solve_cr if INTERIOR_SOLVE == "cr" else tridiag_solve
-        )
-        Y = (solve(Ds, Os, rhs_s) * sdiag[:, :, None]).reshape(3 * M, R)
+        if INTERIOR_SOLVE == "cr":
+            Ys = tridiag_solve_cr(Ds, Os, rhs_s, min_seq=CR_MINSEQ)
+        else:
+            Ys = tridiag_solve(Ds, Os, rhs_s, unroll=INTERIOR_UNROLL)
+        Y = (Ys * sdiag[:, :, None]).reshape(3 * M, R)
     else:
         Y = _eq_chol_solve(A, rhs)
     S_contrib = His @ Y[:, 1:]  # (3K, 3K)
