@@ -66,6 +66,119 @@ def time_native(g, iterations=4):
     return iterations / dt
 
 
+def make_matcher_case(n_cands=16, size=384, n_points=128, seed=0):
+    """Realistic candidate set: wall-structured submap grids + a query
+    scan sampled from one of them (the backend hot-loop workload,
+    fast_correlative_scan_matcher_2d.cc:641-684)."""
+    rng = np.random.default_rng(seed)
+    grids = np.full((n_cands, size, size), 0.15, np.float32)
+    for k in range(n_cands):
+        for _ in range(6):
+            x0, y0 = rng.integers(40, size - 40, 2)
+            ln = rng.integers(60, 180)
+            if rng.random() < 0.5:
+                grids[k, x0 : min(x0 + ln, size - 1), y0] = 0.9
+            else:
+                grids[k, x0, y0 : min(y0 + ln, size - 1)] = 0.9
+    res = 0.1
+    origin = np.array([-size * res / 2, -size * res / 2])
+    occ = np.argwhere(grids[-1] > 0.7)
+    sel = rng.choice(len(occ), size=n_points, replace=True)
+    pts_map = origin[None, :] + (occ[sel] + 0.5) * res
+    th, t = 0.1, np.array([0.8, -0.5])
+    c, s = np.cos(-th), np.sin(-th)
+    pts = (pts_map - t) @ np.array([[c, -s], [s, c]]).T
+    return grids, origin, res, pts
+
+
+def time_matcher(reps=3):
+    """TPU batched-FFT candidate matching vs the native B&B thread-pool
+    fan-out (the reference's ctpl pattern). Returns (tpu_ms, native_ms)
+    per full candidate-set match."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_gslam_tpu.io.native import correlative_match_many_native
+    from sparse_gslam_tpu.ops import matching
+    from sparse_gslam_tpu.ops.grid import precompute_pyramid
+
+    grids, origin, res, pts = make_matcher_case()
+    n_cands = len(grids)
+    depth = 5
+    spec = matching.search_spec(5.0, 1.0, 10.0, res)
+    pyrs = [
+        np.asarray(precompute_pyramid(jnp.asarray(g), depth))
+        for g in grids
+    ]
+    score_grids = [jnp.asarray(p[0]) for p in pyrs]
+    pooled = [jnp.asarray(p[depth - 1]) for p in pyrs]
+    origins = [jnp.asarray(origin, jnp.float32)] * n_cands
+    thetas = [0.0] * n_cands
+    stride = 1 << (depth - 1)
+
+    fn = (
+        matching.match_candidates_pruned
+        if jax.default_backend() == "cpu"
+        else matching.match_candidates_pruned_batched
+    )
+    # warm (compiles)
+    out = fn(score_grids, pooled, origins, thetas, pts.astype(np.float32),
+             spec, 0.6, stride)
+    assert out[0] is not None, "bench matcher found no match"
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        fn(score_grids, pooled, origins, thetas, pts.astype(np.float32),
+           spec, 0.6, stride)
+    tpu_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    correlative_match_many_native(  # warm (lazy g++ build)
+        grids, np.tile(origin, (n_cands, 1)), res, pts, thetas,
+        spec.angular_step, spec.n_angular, spec.n_linear, depth, 0.6,
+    )
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        got = correlative_match_many_native(
+            grids, np.tile(origin, (n_cands, 1)), res, pts, thetas,
+            spec.angular_step, spec.n_angular, spec.n_linear, depth, 0.6,
+        )
+    native_ms = (time.perf_counter() - t0) / reps * 1e3
+    assert got is not None and got[0] == n_cands - 1
+    return tpu_ms, native_ms
+
+
+def time_end_to_end(max_frames=250):
+    """Frames/s of the full pipeline on sim-office (BASELINE.md
+    frames/s at 1 chip)."""
+    from sparse_gslam_tpu.io.providers import create_data_provider
+    from sparse_gslam_tpu.models.slam import SlamSystem
+    from sparse_gslam_tpu.utils.config import load_dataset_config
+    import jax
+
+    slam_cfg, ls_cfg = load_dataset_config("datasets/sim-office")
+    if jax.default_backend() != "cpu":
+        slam_cfg.bucket_min_poses = max(slam_cfg.bucket_min_poses, 64)
+        slam_cfg.bucket_min_lms = max(slam_cfg.bucket_min_lms, 32)
+        slam_cfg.bucket_min_edges = max(slam_cfg.bucket_min_edges, 256)
+        slam_cfg.bucket_min_pg = max(slam_cfg.bucket_min_pg, 128)
+        from sparse_gslam_tpu.utils.prewarm import prewarm
+
+        prewarm(slam_cfg)
+    provider = create_data_provider(
+        slam_cfg.data_provider, "datasets/sim-office/sim-office.log"
+    )
+    system = SlamSystem(slam_cfg, ls_cfg, enable_backend=True)
+    t0 = time.perf_counter()
+    n = 0
+    for frame in provider.frames():
+        system.process_frame(frame)
+        n += 1
+        if n >= max_frames:
+            break
+    system.final_cleanup()
+    wall = time.perf_counter() - t0
+    return n / wall
+
+
 def main():
     import jax
 
@@ -100,6 +213,19 @@ def main():
         f"C++ {native_big:.1f} it/s, ratio {tpu_big / native_big:.1f}"
     )
 
+    # backend hot-loop: batched-FFT candidate matching vs native B&B
+    # thread-pool fan-out (VERDICT r1 item 6)
+    tpu_ms, native_ms = time_matcher()
+    log(
+        f"matcher (16 cands, 128 pts): device {tpu_ms:.0f} ms, "
+        f"native 8-thread B&B {native_ms:.0f} ms, "
+        f"ratio {native_ms / tpu_ms:.2f}"
+    )
+
+    # end-to-end frames/s at 1 chip (BASELINE.md; VERDICT r1 item 5)
+    fps = time_end_to_end()
+    log(f"end-to-end sim-office 250 frames: {fps:.1f} frames/s")
+
     print(
         json.dumps(
             {
@@ -107,6 +233,13 @@ def main():
                 "value": round(tpu_big, 1),
                 "unit": "iters/s",
                 "vs_baseline": round(tpu_big / native_big, 2),
+                "extra": {
+                    "posegraph_iters_per_s_2k": round(tpu_small, 1),
+                    "match_candidate_set_ms": round(tpu_ms, 1),
+                    "match_native_bnb_ms": round(native_ms, 1),
+                    "match_vs_native": round(native_ms / tpu_ms, 2),
+                    "frames_per_s_e2e": round(fps, 2),
+                },
             }
         )
     )

@@ -84,6 +84,80 @@ def posegraph_gn_native(g, phi: float, iterations: int) -> np.ndarray:
     return poses
 
 
+def correlative_match_native(
+    probs, origin, resolution: float, points, init_theta: float,
+    angular_step: float, n_angular: int, n_linear: int, depth: int,
+    min_score: float,
+):
+    """Reference-style branch-and-bound matcher on one submap
+    (native/correlative_matcher.cpp). Returns (score, pose (3,)) or
+    None. CPU baseline for bench.py and an independent oracle for the
+    FFT exhaustive matcher (ops/matching.py)."""
+    lib = load("matcher", "correlative_matcher.cpp")
+    fn = lib.correlative_match
+    fn.restype = ctypes.c_int
+    probs = np.ascontiguousarray(np.asarray(probs), np.float32)
+    pts = np.ascontiguousarray(np.asarray(points), np.float64)
+    out = np.zeros(4, np.float64)
+    rc = fn(
+        probs.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(probs.shape[0]),
+        ctypes.c_double(float(origin[0])),
+        ctypes.c_double(float(origin[1])),
+        ctypes.c_double(resolution),
+        pts.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(len(pts)),
+        ctypes.c_double(init_theta),
+        ctypes.c_double(angular_step),
+        ctypes.c_int(n_angular),
+        ctypes.c_int(n_linear),
+        ctypes.c_int(depth),
+        ctypes.c_double(min_score),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc == 0:
+        return None
+    return float(out[0]), out[1:4].copy()
+
+
+def correlative_match_many_native(
+    grids, origins, resolution: float, points, init_thetas,
+    angular_step: float, n_angular: int, n_linear: int, depth: int,
+    min_score: float, n_threads: int = 8,
+):
+    """Thread-pool fan-out over candidate submaps (the reference's
+    ctpl loop_closing_threads pattern, submap_loop_closer.cpp:158-171).
+    Returns (best_idx, score, pose (3,)) or None."""
+    lib = load("matcher", "correlative_matcher.cpp")
+    fn = lib.correlative_match_many
+    fn.restype = ctypes.c_int
+    grids = np.ascontiguousarray(np.asarray(grids), np.float32)
+    origins = np.ascontiguousarray(np.asarray(origins), np.float64)
+    pts = np.ascontiguousarray(np.asarray(points), np.float64)
+    th0 = np.ascontiguousarray(np.asarray(init_thetas), np.float64)
+    out = np.zeros(4, np.float64)
+    best = fn(
+        grids.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(grids.shape[0]),
+        ctypes.c_int(grids.shape[1]),
+        origins.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_double(resolution),
+        pts.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(len(pts)),
+        th0.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_double(angular_step),
+        ctypes.c_int(n_angular),
+        ctypes.c_int(n_linear),
+        ctypes.c_int(depth),
+        ctypes.c_double(min_score),
+        ctypes.c_int(n_threads),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if best < 0:
+        return None
+    return int(best), float(out[0]), out[1:4].copy()
+
+
 def parse_carmen_native(path: str):
     """Fast CARMEN log parse via the C++ loader; returns
     (times (N,), poses (N,3), ranges_flat, offsets (N+1,)).

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 
 import numpy as np
 
@@ -33,6 +34,7 @@ from .frontend import Frontend, _bucket
 from .range_data import construct_multicloud
 
 _jitted_pg_solver = {}
+_jitted_blocked_solver = {}
 
 
 def _get_pg_solver(phi: float, iterations: int = 20, gnc_scale: float = 1.0):
@@ -46,6 +48,24 @@ def _get_pg_solver(phi: float, iterations: int = 20, gnc_scale: float = 1.0):
             )
         )
     return _jitted_pg_solver[key]
+
+
+def _get_blocked_solver(phi: float, iterations: int, gnc_scale: float):
+    """Jitted keyframe-partitioned Schur solver (parallel/dist_solver).
+    Shape churn is bounded: pose count buckets pow2, separator capacity
+    in multiples of 64, the compact scatter enumerations pow2."""
+    key = (float(phi), int(iterations), float(gnc_scale))
+    if key not in _jitted_blocked_solver:
+        import jax
+
+        from ..parallel import dist_solver
+
+        _jitted_blocked_solver[key] = jax.jit(
+            lambda bg, sg: dist_solver.optimize_pose_graph_blocked(
+                bg, sg, key[0], key[1], key[2]
+            )
+        )
+    return _jitted_blocked_solver[key]
 
 
 @dataclasses.dataclass
@@ -93,6 +113,10 @@ class SubmapLoopCloser:
         hsize = int(math.ceil(extent / 0.05 / 64.0) * 64)
         self.high_spec = GridSpec(size=hsize, resolution=0.05)
         self.match_calls = 0
+        # optional jax.sharding.Mesh with a "blocks" axis: when set,
+        # every pose-graph solve runs the shard_map multi-chip solver
+        # (parallel/dist_solver.optimize_pose_graph_sharded)
+        self.mesh = None
 
     # -- stats -----------------------------------------------------------
     @property
@@ -263,8 +287,21 @@ class SubmapLoopCloser:
                 >= cfg.max_match_distance
             ):
                 continue
+            # estimated relative pose anchor -> query mid: the search
+            # window covers +-linear_search_window of DRIFT around this
+            # estimate, exactly like the reference centering its
+            # SearchParameters on the initial pose estimate
+            # (fast_correlative_scan_matcher_2d.cc:480-507). Implemented
+            # by shifting the candidate's grid origin: cells are
+            # floor((R(th) p + t_est - origin)/res), so passing
+            # origin - t_est to the matcher re-centers the correlation.
+            t_est = se2.relative(anchor, bl_trans)[:2]
             candidates.append(
-                (sm, float(se2.wrap_angle(bl_trans[2] - anchor[2])))
+                (
+                    sm,
+                    float(se2.wrap_angle(bl_trans[2] - anchor[2])),
+                    t_est,
+                )
             )
         if not candidates:
             return None
@@ -290,10 +327,18 @@ class SubmapLoopCloser:
             if jax.default_backend() == "cpu"
             else matching.match_candidates_pruned_batched
         )
+        # search centered on the estimated relative pose: shift each
+        # candidate's origin by its t_est (see _match_snapshot)
+        import jax.numpy as _jnp
+
+        origins = [
+            _jnp.asarray(c[0].origin) - _jnp.asarray(c[2], _jnp.float32)
+            for c in candidates
+        ]
         ci, score, pose, cov = match_fn(
             [c[0].score_grid for c in candidates],
             [c[0].pooled_grid for c in candidates],
-            [c[0].origin for c in candidates],
+            origins,
             [c[1] for c in candidates],
             query,
             spec,
@@ -301,14 +346,45 @@ class SubmapLoopCloser:
             stride,
         )
         self.match_calls += len(candidates)
+        if os.environ.get("SLAM_LOG_MATCHES"):
+            # match-score progress lines like the reference's stdout
+            # (submap_loop_closer.cpp:174); on a miss, re-run with a low
+            # floor to report the best sub-threshold score for diagnosis
+            if ci is None:
+                dci, dscore, _, _ = match_fn(
+                    [c[0].score_grid for c in candidates],
+                    [c[0].pooled_grid for c in candidates],
+                    origins,
+                    [c[1] for c in candidates],
+                    query, spec, 0.30, stride,
+                )
+                print(
+                    f"[match] mid={snap['mid']} cands={len(candidates)} "
+                    f"MISS best={dscore if dci is not None else '<0.30'}"
+                    + (
+                        f" (submap anchor={candidates[dci][0].anchor_idx})"
+                        if dci is not None
+                        else ""
+                    ),
+                    flush=True,
+                )
+            else:
+                print(
+                    f"[match] mid={snap['mid']} cands={len(candidates)} "
+                    f"HIT score={score:.3f} "
+                    f"anchor={candidates[ci][0].anchor_idx}",
+                    flush=True,
+                )
         if ci is None:
             return None
         sm = candidates[ci][0]
+        # matcher pose is drift around the estimate; full relative
+        # translation = t_est + matched offset
+        pose = np.asarray(pose, np.float64).copy()
+        pose[:2] += np.asarray(candidates[ci][2], np.float64)
 
         # optional match-case dump for scripts/submap_debug.py (the
         # reference's submap_test.cpp debugging flow)
-        import os
-
         if os.environ.get("SLAM_DUMP_MATCHES"):
             dump_dir = os.environ.get("SLAM_DUMP_DIR", "/tmp/slam_matches")
             os.makedirs(dump_dir, exist_ok=True)
@@ -317,10 +393,11 @@ class SubmapLoopCloser:
                     dump_dir, f"match_{len(self.closures):03d}.npz"
                 ),
                 probs=np.asarray(sm.score_grid),
-                origin=np.asarray(sm.origin),
+                origin=np.asarray(origins[ci]),
                 resolution=sm.resolution,
                 query=query,
-                init_theta=0.0,
+                init_theta=float(candidates[ci][1]),
+                t_est=np.asarray(candidates[ci][2]),
                 score=score,
             )
 
@@ -421,10 +498,53 @@ class SubmapLoopCloser:
         if len(self.pg_poses) < 2:
             return
         g = self._build_pg_data()
-        g_opt = _get_pg_solver(self.config.dcs_phi, iterations, gnc_scale)(g)
+        g_opt = self._solve(g, iterations, gnc_scale)
         new_poses = np.asarray(g_opt.poses)
         for k in range(len(self.pg_poses)):
             self.pg_poses[k] = new_poses[k]
+
+    def _solve(self, g, iterations: int, gnc_scale: float):
+        """Route one pose-graph solve (the product path replacing
+        submap_loop_closer.cpp:286-288) to the dense or the
+        keyframe-partitioned Schur solver per config.pg_solver; a mesh
+        attached to the closer always takes the shard_map multi-chip
+        path."""
+        cfg = self.config
+        N = g.poses.shape[0]
+        blocked = self.mesh is not None or cfg.pg_solver == "blocked" or (
+            cfg.pg_solver == "auto" and N >= cfg.dist_solver_min_poses
+        )
+        if not blocked:
+            return _get_pg_solver(cfg.dcs_phi, iterations, gnc_scale)(g)
+
+        from ..parallel import dist_solver
+        from ..parallel.partition import make_partition
+
+        n_blocks = max(1, N // max(1, cfg.dist_block_size))
+        if self.mesh is not None:
+            from jax import numpy as jnp  # noqa: F401
+
+            n_dev = self.mesh.shape["blocks"]
+            n_blocks = max(n_dev, n_blocks)
+            # N and n_dev are powers of two, so n_blocks divides N and
+            # is a multiple of n_dev
+        plan = make_partition(
+            N, n_blocks,
+            np.asarray(g.clo_i), np.asarray(g.clo_j),
+            np.asarray(g.clo_valid),
+        )
+        bg, sg = dist_solver.split_graph(g, plan)
+        if self.mesh is not None:
+            poses = dist_solver.optimize_pose_graph_sharded(
+                bg, sg, cfg.dcs_phi, self.mesh, iterations, gnc_scale
+            )
+        else:
+            poses = _get_blocked_solver(cfg.dcs_phi, iterations, gnc_scale)(
+                bg, sg
+            )
+        import jax.numpy as jnp
+
+        return g._replace(poses=jnp.reshape(poses, g.poses.shape))
 
     # --------------------------------------------------------------------
     def prune_false_closures(self):

@@ -198,7 +198,13 @@ def main(argv=None):
                 for c in system.backend.closures
                 if c.active
             ]
-            pr = closure_pr(triples, gt_times, gt_poses)
+            pr = closure_pr(
+                triples, gt_times, gt_poses,
+                # a closure across the full candidate-gate distance is
+                # legitimate; what makes one false is a wrong
+                # MEASUREMENT (trans/rot tolerance), not endpoint span
+                match_radius=max(6.0, slam_cfg.max_match_distance + 2.0),
+            )
             print(
                 f"closures: precision {pr['precision']:.2f} "
                 f"({pr['n_true']}/{pr['n_closures']} true), "
@@ -206,6 +212,40 @@ def main(argv=None):
                 f"({pr['n_detected']}/{pr['n_segments']} revisit "
                 f"segments detected)"
             )
+            # per-closure diagnostics for the FALSE ones: which pair,
+            # and how the measurement disagrees with ground truth
+            import numpy as np
+
+            from .eval.closures import interp_gt
+            from .utils import se2
+
+            active = [c for c in system.backend.closures if c.active]
+            from .ops.solvers import closure_chi2
+
+            g = system.backend._build_pg_data()
+            chi2 = np.asarray(closure_chi2(g))
+            chi2_of = {
+                (c.i, c.j): chi2[k]
+                for k, c in enumerate(system.backend.closures)
+            }
+            for c, (t_i, t_j, meas), ok in zip(
+                active, triples, pr["verdicts"]
+            ):
+                if ok:
+                    continue
+                gi = interp_gt(gt_times, gt_poses, t_i)
+                gj = interp_gt(gt_times, gt_poses, t_j)
+                rel = se2.relative(gi, gj)
+                err = se2.relative(rel, np.asarray(meas, np.float64))
+                sig = np.sqrt(np.diag(np.linalg.inv(c.info)))
+                print(
+                    f"  FALSE closure kf{c.i}->kf{c.j} "
+                    f"err=({err[0]:+.2f},{err[1]:+.2f},"
+                    f"{np.degrees(se2.wrap_angle(err[2])):+.1f}deg) "
+                    f"gt_dist={np.linalg.norm(gi[:2] - gj[:2]):.1f}m "
+                    f"sigma=({sig[0]:.2f},{sig[1]:.2f},{sig[2]:.2f}) "
+                    f"chi2={chi2_of[(c.i, c.j)]:.1f}"
+                )
     return 0
 
 

@@ -107,6 +107,16 @@ class SlamConfig:
     # ALL closures and a poor basin rejects good ones.
     final_gnc_scale: float = 1.0
     final_opt_iterations: int = 20
+    # Pose-graph solver routing (models/backend.py SubmapLoopCloser):
+    # "dense" = the (3N,3N) normal-equation solver, "blocked" = the
+    # keyframe-partitioned Schur solver (parallel/dist_solver.py),
+    # "auto" = dense below dist_solver_min_poses, blocked above (and
+    # always blocked/sharded when a device mesh is attached to the
+    # loop closer). Replaces the reference's single g2o GN solve at
+    # submap_loop_closer.cpp:286-288.
+    pg_solver: str = "auto"
+    dist_solver_min_poses: int = 1024
+    dist_block_size: int = 128
     # jit bucket minima. On CPU small buckets are fastest; through the
     # TPU remote-compile tunnel every distinct shape costs up to ~60 s
     # to compile, while the solve itself is latency-bound (a P=64 LM

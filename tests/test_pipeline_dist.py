@@ -1,0 +1,147 @@
+"""The partitioned solver in the PRODUCT path.
+
+VERDICT round-1 item 2: the keyframe-partitioned Schur solver
+(parallel/dist_solver.py) must be the solver the running SLAM system
+uses (replacing the dense solve that replaces the reference's g2o call
+at src/sparse_gslam/src/submap_loop_closer.cpp:286-288), not a
+bench-only kernel. These tests run the REAL pipeline on a simulated
+world and verify (a) the blocked/sharded solvers agree with the dense
+solver on the pipeline-produced pose graph, and (b) an end-to-end run
+whose every pose-graph solve routes through the blocked kernel lands
+at the same trajectory as the dense-solver run.
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+from sparse_gslam_tpu.eval.simulate import SimConfig, generate_dataset
+from sparse_gslam_tpu.io.providers import create_data_provider
+from sparse_gslam_tpu.models import backend as backend_mod
+from sparse_gslam_tpu.models.slam import SlamSystem
+from sparse_gslam_tpu.ops import solvers
+from sparse_gslam_tpu.parallel import dist_solver
+from sparse_gslam_tpu.utils.config import ExtractorConfig, SlamConfig
+
+
+def pipeline_configs(**overrides):
+    base = dict(
+        std_r=0.05, range_max=10.0, scan_size=11, multicloud_size=88,
+        landmark_max_gap=0.5, match_interval=20, dcs_phi=10.0,
+        max_match_distance=10.0, submap_trajectory_length=6.0,
+    )
+    base.update(overrides)
+    return (
+        SlamConfig(**base),
+        ExtractorConfig(min_line_points=8, cluster_threshold=100.0),
+    )
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(tmp_path_factory):
+    """One full pipeline run (dense solver) on the loop world; yields
+    the system plus its final pipeline-produced PoseGraphData."""
+    from sparse_gslam_tpu.eval.simulate import loop_waypoints
+
+    d = tmp_path_factory.mktemp("dist_sim")
+    cfg = SimConfig(n_beams=60, seed=11)
+    generate_dataset(str(d), cfg, name="t")
+    frames = list(create_data_provider("carmen", str(d / "t.log")).frames())
+    slam, ls = pipeline_configs(pg_solver="dense")
+    sys_ = SlamSystem(slam, ls, enable_backend=True)
+    for fr in frames:
+        sys_.process_frame(fr)
+    sys_.final_cleanup()
+    assert sys_.backend.closure_count >= 1, "world must produce closures"
+    g = sys_.backend._build_pg_data()
+    return d, frames, sys_, g
+
+
+class TestPipelineGraphEquivalence:
+    """Solve the SAME pipeline-produced graph with every solver path."""
+
+    def test_blocked_matches_dense_on_pipeline_graph(self, pipeline_run):
+        _, _, sys_, g = pipeline_run
+        b = sys_.backend
+        dense = solvers.optimize_pose_graph(g, b.config.dcs_phi, 20)
+        part = dist_solver.optimize_partitioned(
+            g, b.config.dcs_phi, n_blocks=max(2, g.poses.shape[0] // 64),
+            iterations=20,
+        )
+        np.testing.assert_allclose(
+            np.asarray(part.poses[: b.pose_count]),
+            np.asarray(dense.poses[: b.pose_count]),
+            atol=1e-5,
+        )
+
+    def test_sharded_matches_dense_on_pipeline_graph(self, pipeline_run):
+        from jax.sharding import Mesh
+
+        _, _, sys_, g = pipeline_run
+        b = sys_.backend
+        devs = jax.devices("cpu")
+        assert len(devs) >= 8
+        mesh = Mesh(np.array(devs[:8]), ("blocks",))
+        dense = solvers.optimize_pose_graph(g, b.config.dcs_phi, 20)
+        sh = dist_solver.optimize_partitioned(
+            g, b.config.dcs_phi, n_blocks=8, iterations=20, mesh=mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(sh.poses[: b.pose_count]),
+            np.asarray(dense.poses[: b.pose_count]),
+            atol=1e-5,
+        )
+
+    def test_backend_solve_routes_to_blocked(self, pipeline_run):
+        """backend._solve must execute the partitioned kernel when
+        configured, and agree with the dense route."""
+        _, _, sys_, g = pipeline_run
+        b = sys_.backend
+        dense = b._solve(g, 20, 1.0)
+
+        cfg_blocked = dataclasses.replace(
+            b.config, pg_solver="blocked", dist_block_size=64
+        )
+        calls = {"n": 0}
+        orig = dist_solver.optimize_pose_graph_blocked
+
+        def spy(bg, sg, phi, iterations=20, gnc_init_scale=1.0):
+            calls["n"] += 1
+            return orig(bg, sg, phi, iterations, gnc_init_scale)
+
+        backend_mod._jitted_blocked_solver.clear()
+        dist_solver.optimize_pose_graph_blocked, saved = spy, orig
+        old_cfg = b.config
+        try:
+            b.config = cfg_blocked
+            blocked = b._solve(g, 20, 1.0)
+        finally:
+            b.config = old_cfg
+            dist_solver.optimize_pose_graph_blocked = saved
+            backend_mod._jitted_blocked_solver.clear()
+        assert calls["n"] == 1, "blocked kernel was not executed"
+        np.testing.assert_allclose(
+            np.asarray(blocked.poses[: b.pose_count]),
+            np.asarray(dense.poses[: b.pose_count]),
+            atol=1e-5,
+        )
+
+
+class TestEndToEndBlocked:
+    def test_full_run_with_blocked_solver_matches_dense(self, pipeline_run):
+        """Re-run the whole pipeline with every solve routed through the
+        partitioned solver; trajectories must agree with the dense run
+        (same closures, same poses to f64-GN tolerance)."""
+        d, frames, sys_dense, _ = pipeline_run
+        slam, ls = pipeline_configs(pg_solver="blocked", dist_block_size=32)
+        sys_b = SlamSystem(slam, ls, enable_backend=True)
+        for fr in frames:
+            sys_b.process_frame(fr)
+        sys_b.final_cleanup()
+        assert sys_b.backend.closure_count == sys_dense.backend.closure_count
+        np.testing.assert_allclose(
+            np.stack(sys_b.backend.pg_poses),
+            np.stack(sys_dense.backend.pg_poses),
+            atol=1e-4,
+        )
