@@ -75,10 +75,15 @@ class Submap:
     anchor_idx: int  # keyframe index of the anchoring pose
     score_grid: object  # (G,G) jnp: dilated level-0 score grid
     pooled_grid: object  # (G,G) jnp: level-(depth-1) pooled bound grid
+    probs: object  # (G,G) jnp: raw (undilated) probability grid
     origin: object  # (2,) jnp
     high_res: object  # (G2,G2) jnp probability grid
     high_origin: object
     resolution: float
+    # keyframe index range [start_idx, end_idx) the grids were built
+    # from (for the local-refinement non-overlap constraint)
+    start_idx: int = 0
+    end_idx: int = 0
 
 
 @dataclasses.dataclass
@@ -88,6 +93,16 @@ class Closure:
     meas: np.ndarray  # (3,)
     info: np.ndarray  # (3,3)
     active: bool = True
+    # "loop" = correlative loop closure (the reference's only kind);
+    # "local" = scan-to-recent-submap refinement edge (new-engine
+    # capability: bounds odometric drift BETWEEN revisits, which loop
+    # closures alone cannot -- see RESULTS.md killian error budget)
+    kind: str = "loop"
+    # recomputed by _gate_consistent_loops before every solve: True =
+    # currently outvoted by pairwise odometry-consistency (may clear
+    # again as more closures accumulate); distinct from `active`,
+    # which is the permanent 11.345 chi2 prune
+    suppressed: bool = False
 
 
 class SubmapLoopCloser:
@@ -113,10 +128,21 @@ class SubmapLoopCloser:
         hsize = int(math.ceil(extent / 0.05 / 64.0) * 64)
         self.high_spec = GridSpec(size=hsize, resolution=0.05)
         self.match_calls = 0
+        # local-refinement accept/reject counters (diagnostics)
+        self.local_stats = {
+            "gap": 0, "dist": 0, "no_submap": 0, "corr": 0,
+            "score": 0, "few_points": 0, "covered": 0, "accepted": 0,
+        }
+        self._last_local_j = -(10**9)
         # optional jax.sharding.Mesh with a "blocks" axis: when set,
         # every pose-graph solve runs the shard_map multi-chip solver
         # (parallel/dist_solver.optimize_pose_graph_sharded)
         self.mesh = None
+        # optional jax.sharding.Mesh with a "cands" axis: when set,
+        # candidate matching fans out across devices
+        # (ops/matching.match_candidates_sharded, SURVEY §2.7 row 1 --
+        # the multi-chip replacement for the reference's ctpl pool)
+        self.match_mesh = None
 
     # -- stats -----------------------------------------------------------
     @property
@@ -129,7 +155,19 @@ class SubmapLoopCloser:
 
     @property
     def closure_count(self) -> int:
-        return sum(1 for c in self.closures if c.active)
+        """Active LOOP closures (the reference's closure statistic;
+        local refinement edges are counted separately)."""
+        return sum(
+            1
+            for c in self.closures
+            if c.active and not c.suppressed and c.kind == "loop"
+        )
+
+    @property
+    def local_edge_count(self) -> int:
+        return sum(
+            1 for c in self.closures if c.active and c.kind == "local"
+        )
 
     @property
     def false_closure_count(self) -> int:
@@ -177,10 +215,13 @@ class SubmapLoopCloser:
                 anchor_idx=mid,
                 score_grid=pyr[0],
                 pooled_grid=pyr[depth - 1],
+                probs=sm_grid.probs,
                 origin=sm_grid.origin,
                 high_res=hi_grid.probs,
                 high_origin=hi_grid.origin,
                 resolution=self.spec.resolution,
+                start_idx=self.last_pose_idx,
+                end_idx=i + 1,
             )
         )
         self.last_pose_idx = max(0, mid - cfg.submap_overlap_poses)
@@ -226,10 +267,16 @@ class SubmapLoopCloser:
         guard = lock if lock is not None else contextlib.nullcontext()
         with guard:
             snap = self._match_snapshot()
-        if snap is None:
-            return False
-        result = self._match_search(snap)  # expensive; runs unlocked
+        result = None
+        if snap is not None:
+            result = self._match_search(snap)  # expensive; runs unlocked
         if result is None:
+            # no loop closure this tick: bound the accumulated drift
+            # with a local scan-to-recent-submap refinement edge
+            # (new-engine capability; see Closure.kind)
+            if self.config.local_refine:
+                with guard:
+                    self._local_refine()
             return False
         with guard:
             self._match_apply(snap, result)
@@ -335,16 +382,27 @@ class SubmapLoopCloser:
             _jnp.asarray(c[0].origin) - _jnp.asarray(c[2], _jnp.float32)
             for c in candidates
         ]
-        ci, score, pose, cov = match_fn(
-            [c[0].score_grid for c in candidates],
-            [c[0].pooled_grid for c in candidates],
-            origins,
-            [c[1] for c in candidates],
-            query,
-            spec,
-            float(self.loop_closure_min_score),
-            stride,
-        )
+        if self.match_mesh is not None:
+            ci, score, pose, cov = matching.match_candidates_sharded(
+                [c[0].score_grid for c in candidates],
+                origins,
+                [c[1] for c in candidates],
+                query,
+                spec,
+                self.match_mesh,
+                float(self.loop_closure_min_score),
+            )
+        else:
+            ci, score, pose, cov = match_fn(
+                [c[0].score_grid for c in candidates],
+                [c[0].pooled_grid for c in candidates],
+                origins,
+                [c[1] for c in candidates],
+                query,
+                spec,
+                float(self.loop_closure_min_score),
+                stride,
+            )
         self.match_calls += len(candidates)
         if os.environ.get("SLAM_LOG_MATCHES"):
             # match-score progress lines like the reference's stdout
@@ -369,10 +427,12 @@ class SubmapLoopCloser:
                     flush=True,
                 )
             else:
+                drift = np.asarray(pose[:2], np.float64)
                 print(
                     f"[match] mid={snap['mid']} cands={len(candidates)} "
                     f"HIT score={score:.3f} "
-                    f"anchor={candidates[ci][0].anchor_idx}",
+                    f"anchor={candidates[ci][0].anchor_idx} "
+                    f"offset={np.linalg.norm(drift):.2f}m",
                     flush=True,
                 )
         if ci is None:
@@ -414,37 +474,69 @@ class SubmapLoopCloser:
                 jnp.asarray(valid), jnp.asarray(pose, dtype=jnp.float32),
             )
         ).astype(np.float64)
+
+        # diagnostic oracle gate (eval harness only): with
+        # SLAM_GT_ORACLE=<name>.gt, reject closures whose measurement
+        # disagrees with ground truth -- measures the accuracy CEILING
+        # a perfect-precision detector would reach (never affects real
+        # runs; see RESULTS.md error budget)
+        gt_path = os.environ.get("SLAM_GT_ORACLE")
+        if gt_path:
+            from ..eval.closures import interp_gt, load_gt
+
+            if not hasattr(self, "_oracle_gt"):
+                self._oracle_gt = load_gt(gt_path)
+            gt_times, gt_poses = self._oracle_gt
+            kfs = self.frontend.keyframes
+            gi = interp_gt(gt_times, gt_poses, kfs[sm.anchor_idx].odom_times[0])
+            gj = interp_gt(gt_times, gt_poses, kfs[snap["mid"]].odom_times[0])
+            err = se2.relative(se2.relative(gi, gj), refined)
+            if np.linalg.norm(err[:2]) > 0.5 or abs(
+                se2.wrap_angle(err[2])
+            ) > 0.2:
+                print(
+                    f"[oracle] reject kf{sm.anchor_idx}->kf{snap['mid']} "
+                    f"err=({err[0]:+.2f},{err[1]:+.2f})",
+                    flush=True,
+                )
+                return None
         return dict(sm=sm, refined=refined, cov=cov)
 
-    def _match_apply(self, snap, result):
-        """Under-lock phase: extend the pose-graph chain with the
-        CURRENT keyframes (the frontend may have grown during the
-        unlocked search, exactly like the reference re-reading
-        lm_graph.poses at apply time, submap_loop_closer.cpp:204-225),
-        prune the landmark-graph window, add the DCS closure edge and
-        optimize."""
-        sm = result["sm"]
-        mid = snap["mid"]
+    def extend_chain(self):
+        """Extend the pose-graph chain to the CURRENT keyframe count
+        (the frontend may have grown during an unlocked search, exactly
+        like the reference re-reading lm_graph.poses at apply time,
+        submap_loop_closer.cpp:204-225) and prune the landmark-graph
+        window to one fixed pose (submap_loop_closer.cpp:256-270:
+        opt.clear() + single vertex). Called at closure apply and at
+        final cleanup (so tail-of-run local edges enter the final
+        optimization)."""
+        self._ensure_pg_init()
+        if not self.pg_poses:
+            return
         kfs = self.frontend.keyframes
         est = self.frontend.estimates()
         n = len(kfs)
-
-        lo = self.last_opt_pose_index
-        for idx in range(lo, n):
+        for idx in range(self.last_opt_pose_index, n):
             meas = se2.relative(est[idx - 1], est[idx])
             self.pg_meas.append(meas)
             self.pg_info.append(kfs[idx].odom_info.copy())
             self.pg_poses.append(se2.compose(self.pg_poses[-1], meas))
-        self.last_opt_pose_index = n
+        if n > self.last_opt_pose_index:
+            self.last_opt_pose_index = n
+            self.frontend.window_start = max(
+                1, self.last_opt_pose_index - 1
+            )
+            self.frontend.obs_edges.clear()
+            self.frontend.last_landmark_edge = 0
+            self.frontend.need_reinit = True
 
-        # prune the landmark graph to one fixed pose
-        # (submap_loop_closer.cpp:256-270): opt.clear() + single vertex
-        self.frontend.window_start = max(1, self.last_opt_pose_index - 1)
-        self.frontend.obs_edges.clear()
-        self.frontend.last_landmark_edge = 0
-        self.frontend.need_reinit = True
-
-        # add the DCS closure edge (submap_loop_closer.cpp:272-285)
+    def _match_apply(self, snap, result):
+        """Under-lock phase: extend the pose-graph chain, add the DCS
+        closure edge (submap_loop_closer.cpp:272-285) and optimize."""
+        sm = result["sm"]
+        mid = snap["mid"]
+        self.extend_chain()
         self.closures.append(
             Closure(
                 i=sm.anchor_idx,
@@ -454,6 +546,168 @@ class SubmapLoopCloser:
             )
         )
         self.optimize(iterations=20)
+
+    # --------------------------------------------------------------------
+    def _local_refine(self) -> bool:
+        """Scan-to-recent-submap refinement edge (new-engine capability,
+        no reference counterpart -- the reference relies solely on its
+        landmark frontend between loop closures).
+
+        On a match tick that produced no loop closure, build a SHORT
+        query multiscan from the keyframes past the newest finalized
+        submap's end (so no query keyframe contributed to the grids)
+        and GN-refine it against that submap, seeded at the current
+        pose estimate -- first on the coarse dilated score grid (wide
+        convergence basin), then on the 0.05 m high-res grid. Seeding
+        at the estimate means there is no exhaustive search and hence
+        no aliasing risk; the edge is accepted only if the refined pose
+        stays near the seed AND enough query points land on occupied
+        submap cells. The resulting edge bounds odometric drift
+        accumulated since the submap was built -- the error term that
+        dominates long corridors (RESULTS.md sim-killian error budget:
+        a perfect-precision closure oracle still plateaus at ~0.28 m).
+
+        Called under the graph lock: the refinement is a fixed-shape
+        jitted GN (~ms), unlike the exhaustive matcher."""
+        cfg = self.config
+        stats = self.local_stats
+        kfs = self.frontend.keyframes
+        n = len(kfs)
+        # newest submap with at least 2 query keyframes beyond it
+        sm = None
+        for cand in reversed(self.submaps):
+            if cand.end_idx <= n - 2:
+                sm = cand
+                break
+        if sm is None:
+            stats["no_submap"] += 1
+            return False
+        qs = sm.end_idx
+        # short seam query: the overlap with the submap's observed
+        # region lives just past its end (forward-facing lidar), so a
+        # long query only dilutes the gate
+        qe = min(n, qs + 8)
+        mid = (qs + qe - 1) // 2
+        if mid - self._last_local_j < max(1, cfg.local_refine_min_gap):
+            stats["gap"] += 1
+            return False
+        self._ensure_pg_init()
+        map_pose = self._map_transforms()
+        bl = map_pose(mid)
+        # coarse work-skip only (the real gate is the overlap fraction
+        # below)
+        max_dist = cfg.local_refine_max_dist or (
+            cfg.range_max + cfg.last_traj_length
+        )
+        if np.linalg.norm(bl[:2] - map_pose(qs - 1)[:2]) > max_dist:
+            stats["dist"] += 1
+            return False
+        # landmark-coverage gate: where the line-landmark frontend has
+        # solid observations over the seam, its relative estimates are
+        # 2-3x more accurate than a scan-to-submap edge (measured on
+        # sim-office: frontend ~0.02-0.06 m vs edge ~0.07 m RMS), so
+        # adding the edge would only inject noise. Local edges are the
+        # substitute constraint for landmark-starved stretches -- long
+        # corridors, exactly where drift compounds.
+        obs = [
+            e
+            for e in self.frontend.obs_edges
+            if qs <= e.pose_idx < qe
+        ]
+        if (
+            len(obs) >= cfg.local_refine_lm_cover * (qe - qs)
+            and len({e.lm_idx for e in obs}) >= 2
+        ):
+            stats["covered"] += 1
+            return False
+        est = self.frontend.estimates()
+        query = construct_multicloud(
+            [k.data for k in kfs], est, qs, mid, qe, returns_only=True
+        )
+        if len(query) < 12:
+            stats["few_points"] += 1
+            return False
+        anchor = map_pose(sm.anchor_idx)
+        seed = se2.relative(anchor, bl)
+
+        import jax.numpy as jnp
+
+        Nb = _bucket(len(query), 256)
+        ptsb = np.zeros((Nb, 2), np.float32)
+        ptsb[: len(query)] = query
+        valid = np.arange(Nb) < len(query)
+        # stage 1: refine on the DILATED match-resolution score grid,
+        # not the 0.05 m high-res grid: with sparse beams the high-res
+        # hit cells are isolated dots that a different viewpoint's
+        # samples never land on (measured mean prob ~0.1 at the
+        # ground-truth pose); the dilated grid turns them into ~0.3 m
+        # wall bands with a usable GN basin and honest overlap
+        # statistics. The overlap gate uses this stage's point probs.
+        pts_d = jnp.asarray(ptsb)
+        valid_d = jnp.asarray(valid)
+        coarse, _, probs = matching.refine_pose_cov(
+            sm.score_grid, sm.origin, float(sm.resolution),
+            pts_d, valid_d, jnp.asarray(seed, dtype=jnp.float32),
+        )
+        # stage 2: polish on the RAW (undilated) grid -- the
+        # forward-looking 2x2 dilation centers wall bands at
+        # half-integer cells, biasing a dilated-grid GN by ~-0.03 m
+        # per axis (measured; see TestPlateauTieBreak); the raw grid
+        # is symmetric about the true wall cells. Covariance comes
+        # from the raw-grid Hessian.
+        refined, cov, _ = matching.refine_pose_cov(
+            sm.probs, sm.origin, float(sm.resolution), pts_d, valid_d,
+            coarse,
+        )
+        refined = np.asarray(refined).astype(np.float64)
+        # reject a jump the pose estimate cannot plausibly have
+        # drifted: the refinement left its basin
+        if (
+            np.linalg.norm(refined[:2] - seed[:2])
+            > cfg.local_refine_max_correction
+            or abs(se2.wrap_angle(refined[2] - seed[2])) > 0.35
+        ):
+            stats["corr"] += 1
+            return False
+        # overlap gate: fraction of query points landing on occupied
+        # cells of the submap at the refined pose. Unknown cells score
+        # PMIN, so a query that mostly left the submap's observed
+        # region cannot pass.
+        probs = np.asarray(probs)[: len(query)]
+        overlap = float((probs > 0.55).mean())
+        if overlap < cfg.local_refine_min_overlap:
+            stats["score"] += 1
+            return False
+        # Censi covariance from the GN Hessian (anisotropic: ~zero
+        # information along grid-flat directions), floored at the
+        # high-res cell scale
+        cov = np.asarray(cov, np.float64)
+        cov += np.diag(
+            [
+                cfg.local_refine_sigma_xy**2,
+                cfg.local_refine_sigma_xy**2,
+                cfg.local_refine_sigma_th**2,
+            ]
+        )
+        self.closures.append(
+            Closure(
+                i=sm.anchor_idx, j=mid, meas=refined,
+                info=np.linalg.inv(cov), kind="local",
+            )
+        )
+        self._last_local_j = mid
+        stats["accepted"] += 1
+        if os.environ.get("SLAM_LOG_MATCHES"):
+            sig = np.sqrt(np.diag(cov))
+            print(
+                f"[local] kf{sm.anchor_idx}->kf{mid} "
+                f"overlap={overlap:.2f} "
+                f"corr=({refined[0]-seed[0]:+.3f},{refined[1]-seed[1]:+.3f},"
+                f"{se2.wrap_angle(refined[2]-seed[2]):+.3f}) "
+                f"sigma=({sig[0]:.3f},{sig[1]:.3f},{sig[2]:.3f})",
+                flush=True,
+            )
+        return True
 
     # --------------------------------------------------------------------
     def _build_pg_data(self):
@@ -481,11 +735,16 @@ class SubmapLoopCloser:
         clo_info = np.tile(np.eye(3), (C, 1, 1))
         clo_valid = np.zeros(C, bool)
         for k, c in enumerate(self.closures):
-            clo_i[k] = c.i
-            clo_j[k] = c.j
+            clo_i[k] = min(c.i, n - 1)
+            clo_j[k] = min(c.j, n - 1)
             clo_meas[k] = c.meas
             clo_info[k] = c.info
-            clo_valid[k] = c.active
+            # an edge whose endpoint the chain has not reached yet
+            # (local edges accumulate ahead of the chain; they activate
+            # once extend_chain covers them)
+            clo_valid[k] = (
+                c.active and not c.suppressed and c.i < n and c.j < n
+            )
         return solvers.PoseGraphData(
             jnp.asarray(poses), jnp.asarray(valid), jnp.asarray(fixed),
             jnp.asarray(chain_meas), jnp.asarray(chain_info),
@@ -494,9 +753,108 @@ class SubmapLoopCloser:
             jnp.asarray(clo_info), jnp.asarray(clo_valid),
         )
 
+    def _gate_consistent_loops(self):
+        """Pairwise odometry-consistency gating of loop closures
+        (PCM-flavored, after Mangelson et al. 2018; no reference
+        counterpart -- the reference relies on DCS + the final 11.345
+        chi2 prune alone, which cannot reject an along-corridor alias
+        whose own covariance is honestly wide in the alias direction).
+
+        Two closures a=(ia,ja,Ta) and b=(ib,jb,Tb) whose endpoints are
+        near each other on the chain must satisfy Ta*B == A*Tb, where
+        A = dead-reckoned ia->ib and B = ja->jb: aliased matches shift
+        by the corridor's self-similarity period (>= 1 m) and violate
+        this against every true closure of the same revisit, while
+        true closures support each other to odometry precision.
+        Recomputed from scratch before every solve, so a closure
+        suppressed while outnumbered is re-admitted once enough
+        agreeing closures accumulate."""
+        n = len(self.pg_poses)
+        idx = [
+            k
+            for k, c in enumerate(self.closures)
+            if c.active and c.kind == "loop" and c.i < n and c.j < n
+        ]
+        for k in idx:
+            self.closures[k].suppressed = False
+        if len(idx) < 2:
+            return
+        # dead-reckoned chain poses + cumulative travel distance
+        # (closure-independent, unlike pg_poses)
+        dr = np.zeros((n, 3))
+        dist = np.zeros(n)
+        for k in range(1, n):
+            dr[k] = se2.compose(dr[k - 1], self.pg_meas[k])
+            dist[k] = dist[k - 1] + float(
+                np.linalg.norm(self.pg_meas[k][:2])
+            )
+        cls = [self.closures[k] for k in idx]
+        m = len(cls)
+        conflict = [set() for _ in range(m)]
+        support = [set() for _ in range(m)]
+        for a in range(m):
+            for b in range(a + 1, m):
+                ca, cb = cls[a], cls[b]
+                gi = abs(dist[ca.i] - dist[cb.i])
+                gj = abs(dist[ca.j] - dist[cb.j])
+                if max(gi, gj) > 80.0:
+                    continue  # not comparable: too much chain between
+                A = se2.relative(dr[ca.i], dr[cb.i])
+                B = se2.relative(dr[ca.j], dr[cb.j])
+                err = se2.relative(
+                    se2.compose(A, cb.meas), se2.compose(ca.meas, B)
+                )
+                # tolerance = matcher precision + odometric drift over
+                # the connecting chain segments, capped below the ~1 m
+                # self-similarity period that separates aliases
+                tol_t = min(1.0, 0.45 + 0.02 * (gi + gj))
+                tol_r = min(0.15, 0.08 + 0.002 * (gi + gj))
+                ok = (
+                    np.linalg.norm(err[:2]) <= tol_t
+                    and abs(se2.wrap_angle(err[2])) <= tol_r
+                )
+                (support if ok else conflict)[a].add(b)
+                (support if ok else conflict)[b].add(a)
+        # iteratively drop the most-conflicted / least-supported until
+        # conflict-free (greedy max consistent subset)
+        alive = set(range(m))
+        while True:
+            worst, worst_key = None, None
+            for k in alive:
+                ncon = len(conflict[k] & alive)
+                if ncon == 0:
+                    continue
+                key = (ncon - len(support[k] & alive), ncon, -k)
+                if worst_key is None or key > worst_key:
+                    worst, worst_key = k, key
+            if worst is None:
+                break
+            alive.remove(worst)
+        # a closure that HAD comparable partners but supports none of
+        # the survivors is an unverifiable odd-one-out (e.g. the lone
+        # survivor of an all-alias cluster after the greedy pass):
+        # suppress it too. True revisits produce mutually-supporting
+        # closures over consecutive match ticks, so this costs recall
+        # only for genuinely isolated events, which stay (no partners).
+        frozen = frozenset(alive)
+        for k in frozen:
+            if (conflict[k] | support[k]) and not (support[k] & frozen):
+                alive.discard(k)
+        for k in range(m):
+            cls[k].suppressed = k not in alive
+
+    @property
+    def suppressed_closure_count(self) -> int:
+        return sum(
+            1
+            for c in self.closures
+            if c.active and c.kind == "loop" and c.suppressed
+        )
+
     def optimize(self, iterations: int = 20, gnc_scale: float = 1.0):
         if len(self.pg_poses) < 2:
             return
+        self._gate_consistent_loops()
         g = self._build_pg_data()
         g_opt = self._solve(g, iterations, gnc_scale)
         new_poses = np.asarray(g_opt.poses)
@@ -551,9 +909,17 @@ class SubmapLoopCloser:
         """chi2 > 11.345 closure pruning (log_runner.cpp:182-190)."""
         if not self.closures or len(self.pg_poses) < 2:
             return
+        self._gate_consistent_loops()
         g = self._build_pg_data()
         chi2 = np.asarray(solvers.closure_chi2(g))
+        n = len(self.pg_poses)
         for k, c in enumerate(self.closures):
-            if c.active and chi2[k] > 11.345:
+            if c.suppressed:
+                continue  # not in the graph; chi2[k] is meaningless
+            if c.active and c.i < n and c.j < n and chi2[k] > 11.345:
                 c.active = False
-                self.false_closures += 1
+                # the reference's counter tracks rejected LOOP
+                # closures; local refinement edges are a new-engine
+                # edge kind and don't feed the false-closure stat
+                if c.kind == "loop":
+                    self.false_closures += 1

@@ -165,6 +165,9 @@ class SlamSystem:
         self.backend.loop_closure_min_score = 0.5
         self.backend.precompute()
         self.backend.match()
+        # pull the chain to the last keyframe so tail-of-run local
+        # refinement edges participate in the final optimization
+        self.backend.extend_chain()
         self.backend.prune_false_closures()
         self.backend.optimize(
             iterations=self.config.final_opt_iterations,

@@ -289,7 +289,7 @@ def correlate_rotations(
     return corr / n_valid
 
 
-@functools.partial(jax.jit, static_argnames=("size",))
+@functools.partial(jax.jit, static_argnames=("size", "w_lin", "w_rot"))
 def window_cov(
     score_grid,  # (size, size) level-0 (2x2 dilated) score grid
     grid_origin,
@@ -302,17 +302,37 @@ def window_cov(
     theta_hi,
     resolution: float,
     size: int,
+    w_lin: int = 15,
+    w_rot: int = 5,
 ):
-    """Score-moment covariance by direct re-scoring of the +-5 cell /
-    +-5 rotation window around the best candidate -- exactly the
-    reference's computation (fast_correlative_scan_matcher_2d.cc:
-    536-560, which also re-gathers the level-0 grid), decoupled from
-    the full score volume so rotation pruning stays exact."""
-    w = 5
-    di = jnp.arange(-w, w + 1)
+    """Score-moment covariance by direct re-scoring of the window
+    around the best candidate (the reference's computation,
+    fast_correlative_scan_matcher_2d.cc:536-560, with two calibration
+    changes that matter for corridor worlds):
+
+    - the translation window is +-w_lin cells (reference: +-5). A +-5
+      window cannot see a score ridge wider than ~0.5 m, so an aliased
+      along-corridor match gets the SAME ~0.3 m sigma as a sharply
+      peaked one, and a meter-level alias error then carries full
+      weight in the pose graph. The wider window measures the actual
+      ridge width.
+    - moment weights count only the mass within a noise band below the
+      window maximum, w = max(score - (smax - delta), 0): raw scores
+      sit on a large constant floor (~PMIN..0.5), which makes the raw
+      second moment converge to the uniform-window variance regardless
+      of peak shape. The band (delta = max(0.05, 0.15*(smax - smin)),
+      0.05 ~ the per-point binomial score noise at ~100 beams) keeps a
+      corridor ridge -- whose candidates are statistically
+      indistinguishable from the best -- wide along the ridge, while a
+      uniquely peaked match collapses to cell scale. This de-weights
+      exactly the error direction of an along-corridor alias
+      (models/backend.py closure info = inv(cov)).
+    """
+    dr = jnp.arange(-w_rot, w_rot + 1)
+    dl = jnp.arange(-w_lin, w_lin + 1)
     thetas = jnp.clip(
-        best_pose[2] + di * angular_step, theta_lo, theta_hi
-    )  # (11,) rotation window clamped to the search range
+        best_pose[2] + dr * angular_step, theta_lo, theta_hi
+    )  # rotation window clamped to the search range
     c, s = jnp.cos(thetas), jnp.sin(thetas)
     px = c[:, None] * points[None, :, 0] - s[:, None] * points[None, :, 1]
     py = s[:, None] * points[None, :, 0] + c[:, None] * points[None, :, 1]
@@ -322,8 +342,8 @@ def window_cov(
     cy = jnp.floor(
         (py + best_pose[1] - grid_origin[1]) / resolution
     ).astype(jnp.int32)
-    gx = cx[:, None, None, :] + di[None, :, None, None]
-    gy = cy[:, None, None, :] + di[None, None, :, None]
+    gx = cx[:, None, None, :] + dl[None, :, None, None]
+    gy = cy[:, None, None, :] + dl[None, None, :, None]
     inb = (
         point_valid[None, None, None, :]
         & (gx >= 0) & (gx < size) & (gy >= 0) & (gy < size)
@@ -336,26 +356,49 @@ def window_cov(
     n_valid = jnp.maximum(jnp.sum(point_valid), 1)
     scores = jnp.sum(
         jnp.where(point_valid[None, None, None, :], vals, 0.0), axis=-1
-    ) / n_valid  # (11k, 11x, 11y)
+    ) / n_valid  # (R, X, Y)
+
+    smax = jnp.max(scores)
+    smin = jnp.min(scores)
+    delta = jnp.maximum(0.05, 0.15 * (smax - smin))
+    weights = jnp.clip(scores - (smax - delta), 0.0, None) + 1e-9
 
     X = jnp.stack(
         jnp.broadcast_arrays(
-            (best_pose[0] + di.astype(scores.dtype) * resolution)[
+            (best_pose[0] + dl.astype(scores.dtype) * resolution)[
                 None, :, None
             ],
-            (best_pose[1] + di.astype(scores.dtype) * resolution)[
+            (best_pose[1] + dl.astype(scores.dtype) * resolution)[
                 None, None, :
             ],
             (thetas - init_theta)[:, None, None],
         ),
         axis=-1,
     ).reshape(-1, 3)
-    sflat = scores.reshape(-1)
+    sflat = weights.reshape(-1)
     ssum = jnp.sum(sflat)
     u = jnp.sum(X * sflat[:, None], axis=0)
     K = jnp.einsum("ni,nj,n->ij", X, X, sflat)
     inv_s = 1.0 / ssum
-    return inv_s * K - inv_s * inv_s * jnp.outer(u, u)
+    cov = inv_s * K - inv_s * inv_s * jnp.outer(u, u)
+    # floor at the reference estimator's best-case scale (its raw
+    # moments over a +-5-cell window report sigma ~0.25-0.3 m even for
+    # a perfectly peaked match, and that calibration is what dcs_phi /
+    # the 11.345 chi^2 pruning thresholds were tuned against). The
+    # band-weighted moments above only ever ADD width beyond this
+    # floor, in the directions where the score surface is genuinely
+    # ambiguous.
+    floor = jnp.diag(
+        jnp.asarray(
+            [
+                (2.5 * resolution) ** 2,
+                (2.5 * resolution) ** 2,
+                (2.5 * angular_step) ** 2,
+            ],
+            cov.dtype,
+        )
+    )
+    return cov + floor
 
 
 @functools.partial(jax.jit, static_argnames=("n_linear",))
@@ -371,7 +414,20 @@ def best_candidate_with_cov(
     window (fast_correlative_scan_matcher_2d.cc:522-560)."""
     R = scores.shape[0]
     W = scores.shape[1]
-    flat_idx = jnp.argmax(scores)
+    # argmax with centered tie-break: the 2x2 dilation of the score
+    # grid creates exact score plateaus 1-2 cells wide; plain argmax
+    # always picks the plateau's most-negative corner, biasing every
+    # closure by up to -1 cell per axis (measured -0.1 m on a synthetic
+    # square room). Among near-ties, prefer the candidate nearest the
+    # search center (= the pose estimate seed).
+    m = jnp.max(scores)
+    d = jnp.arange(W) - n_linear
+    r2 = (d[:, None] ** 2 + d[None, :] ** 2).astype(scores.dtype)
+    flat_idx = jnp.argmax(
+        jnp.where(
+            scores >= m - 1e-6, -r2[None], -jnp.inf
+        ).reshape(-1)
+    )
     k = flat_idx // (W * W)
     rem = flat_idx % (W * W)
     ox = rem // W - n_linear
@@ -506,6 +562,97 @@ def refine_pose(
     return pose
 
 
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def refine_pose_cov(
+    grid,  # (size, size) high-res probability grid (0 = unknown)
+    origin,
+    resolution,
+    points,  # (N, 2) query returns in submap frame
+    point_valid,  # (N,)
+    init_pose,  # (3,)
+    iterations: int = 10,
+):
+    """refine_pose + a Censi-style covariance of the refined pose and
+    per-point occupancy probabilities (for overlap gating).
+
+    Used by the local-refinement edge path (models/backend.py
+    _local_refine, no reference counterpart): unlike the exhaustive
+    matcher's score-moment covariance (window_cov), the covariance here
+    comes from the occupied-space Gauss-Newton Hessian at the solution,
+    cov = sigma^2 (J^T J)^{-1} with sigma^2 the per-residual variance.
+    In a corridor, the grid gradient along the corridor axis is ~0, so
+    J^T J is near-singular in that direction and the resulting edge
+    carries ~zero information along it -- by construction the local
+    edge can never fight a loop closure over the alias direction; it
+    only pins the directions the scan actually constrains. The anchor
+    (translation/rotation-to-seed) residuals of refine_pose are
+    EXCLUDED from the covariance: they encode the prior, not the
+    measurement."""
+    sgrid = jnp.where(grid > 0.0, grid, PMIN)
+    n = jnp.maximum(jnp.sum(point_valid), 1).astype(grid.dtype)
+    wv = point_valid.astype(grid.dtype)
+
+    pose = refine_pose(
+        grid, origin, resolution, points, point_valid, init_pose,
+        iterations=iterations,
+    )
+
+    def transformed(p):
+        c, s = jnp.cos(p[2]), jnp.sin(p[2])
+        return jnp.stack(
+            [
+                c * points[:, 0] - s * points[:, 1] + p[0],
+                s * points[:, 0] + c * points[:, 1] + p[1],
+            ],
+            axis=1,
+        )
+
+    def occ_residuals(p):
+        return (1.0 - interp_grid(sgrid, origin, resolution,
+                                  transformed(p))) * wv
+
+    r = occ_residuals(pose)
+    J = jax.jacfwd(occ_residuals)(pose)  # (N, 3)
+    H = J.T @ J
+    sigma2 = jnp.sum(r * r) / jnp.maximum(n - 3.0, 1.0)
+    # pseudo-inverse via eigen decomposition: directions the scan does
+    # not constrain (tiny eigenvalues) get a huge, finite variance
+    # instead of a numerical explosion
+    w, V = jnp.linalg.eigh(H)
+    inv_w = jnp.where(w > 1e-6, 1.0 / jnp.maximum(w, 1e-6), 1e6)
+    cov = (V * (sigma2 * inv_w)[None, :]) @ V.T
+    probs = interp_grid(sgrid, origin, resolution, transformed(pose))
+    return pose, cov, probs
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def score_pose(
+    score_grid,  # (size, size) level-0 score grid
+    grid_origin,
+    points,
+    point_valid,
+    pose,  # (3,)
+    resolution: float,
+    size: int,
+):
+    """Mean grid score of the query at one pose -- the same candidate
+    score the correlative matcher maximizes, evaluated pointwise (used
+    to accept/reject local refinement edges)."""
+    c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+    px = c * points[:, 0] - s * points[:, 1] + pose[0]
+    py = s * points[:, 0] + c * points[:, 1] + pose[1]
+    cx = jnp.floor((px - grid_origin[0]) / resolution).astype(jnp.int32)
+    cy = jnp.floor((py - grid_origin[1]) / resolution).astype(jnp.int32)
+    inb = point_valid & (cx >= 0) & (cx < size) & (cy >= 0) & (cy < size)
+    vals = jnp.where(
+        inb,
+        score_grid[jnp.clip(cx, 0, size - 1), jnp.clip(cy, 0, size - 1)],
+        PMIN,
+    )
+    n = jnp.maximum(jnp.sum(point_valid), 1)
+    return jnp.sum(jnp.where(point_valid, vals, 0.0)) / n
+
+
 # ---------------------------------------------------------------------------
 # batched candidate matching: the reference fans one thread per
 # candidate submap (submap_loop_closer.cpp:158-162 ctpl pool); here the
@@ -608,6 +755,23 @@ def match_submaps_batched(
     return out
 
 
+def _argmax_center_tiebreak(scores, n_linear, tol=1e-6):
+    """(k, i, j) of the max of a (R, W, W) score volume; among
+    near-ties (exact plateaus created by the 2x2-dilated score grid),
+    the candidate nearest the translation-window center -- i.e. the
+    pose-estimate seed. Plain argmax always picks a plateau's
+    most-negative corner, biasing every match by up to -1 cell per
+    axis (see best_candidate_with_cov)."""
+    import numpy as _np
+
+    m = scores.max()
+    W = scores.shape[1]
+    d = _np.arange(W) - n_linear
+    r2 = d[:, None] ** 2 + d[None, :] ** 2
+    masked = _np.where(scores >= m - tol, -r2[None], -_np.inf)
+    return _np.unravel_index(_np.argmax(masked), scores.shape)
+
+
 def match_candidates_pruned(
     score_grids,  # list of level-0 (2x2 dilated) score grids
     pooled_grids,  # list of level-h pooled grids (same shapes)
@@ -702,7 +866,7 @@ def match_candidates_pruned(
             int(fft_size),
         )
         scores = _np.asarray(scores)
-        k, i, j = _np.unravel_index(_np.argmax(scores), scores.shape)
+        k, i, j = _argmax_center_tiebreak(scores, spec.n_linear)
         sc = float(scores[k, i, j])
         if sc > floor:
             best = (
@@ -927,8 +1091,8 @@ def match_candidates_pruned_batched(
                 )
             )  # (csize, Rb, L, L)
             for b, (ci, sel) in enumerate(sub):
-                k, i, j = _np.unravel_index(
-                    _np.argmax(scores[b]), scores[b].shape
+                k, i, j = _argmax_center_tiebreak(
+                    scores[b], spec.n_linear
                 )
                 sc = float(scores[b, k, i, j])
                 if sc > max(min_score, best[0] if best else -1.0):
@@ -958,6 +1122,107 @@ def match_candidates_pruned_batched(
 # ---------------------------------------------------------------------------
 # host-facing match wrapper
 # ---------------------------------------------------------------------------
+
+
+def match_candidates_sharded(
+    score_grids,  # list of level-0 (2x2 dilated) score grids
+    origins,
+    init_thetas,
+    points,  # (N, 2) numpy query returns
+    spec: SearchSpec,
+    mesh,  # jax.sharding.Mesh with a "cands" axis
+    min_score: float,
+    fft_margin_bucket: int = 128,
+):
+    """Multi-chip loop-closure fan-out (SURVEY §2.7 row 1): candidate
+    submaps shard across the mesh's "cands" axis -- the TPU-native
+    replacement for the reference's ctpl thread pool
+    (submap_loop_closer.cpp:158-171). Each device scores its local
+    candidates with the exhaustive FFT correlator, then one all_gather
+    of the tiny per-candidate (score, pose, cov) results + a replicated
+    argmax reduce picks the winner; the grids themselves never move
+    between devices.
+
+    Same contract as match_candidates_pruned:
+    (best_idx or None, score, pose (3,), cov (3,3)).
+    """
+    import numpy as _np
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Ps
+
+    axis = "cands"
+    n_dev = mesh.shape[axis]
+    C = len(score_grids)
+    Cp = -(-C // n_dev) * n_dev
+    size = score_grids[0].shape[0]
+    N = len(points)
+    n_bucket = 256
+    while n_bucket < N:
+        n_bucket *= 2
+    pts = _np.zeros((n_bucket, 2), _np.float32)
+    pts[:N] = points
+    valid = _np.arange(n_bucket) < N
+    fft_size = size + fft_margin_bucket
+
+    pad = Cp - C
+    grids = jnp.stack(list(score_grids) + [score_grids[0]] * pad)
+    origs = jnp.stack(
+        [jnp.asarray(o, jnp.float32) for o in origins]
+        + [jnp.asarray(origins[0], jnp.float32)] * pad
+    )
+    th0 = jnp.asarray(list(init_thetas) + [0.0] * pad, jnp.float32)
+    live = jnp.asarray(_np.arange(Cp) < C)
+    Cl = Cp // n_dev
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(Ps(axis), Ps(axis), Ps(axis), Ps(axis), Ps(), Ps()),
+        out_specs=(Ps(), Ps(), Ps(), Ps()),
+        check_vma=False,
+    )
+    def run(grids_l, origs_l, th0_l, live_l, pts_d, valid_d):
+        outs = []
+        for i in range(Cl):  # static local count; FFTs stay per-device
+            scores, thetas = correlate_all(
+                grids_l[i], origs_l[i], pts_d, valid_d, th0_l[i],
+                jnp.float32(spec.angular_step), float(spec.resolution),
+                int(spec.n_angular), int(spec.n_linear), int(size),
+                int(fft_size),
+            )
+            sc, pose, _ = best_candidate_with_cov(
+                scores, thetas, th0_l[i],
+                jnp.float32(spec.angular_step), float(spec.resolution),
+                int(spec.n_linear),
+            )
+            cov = window_cov(
+                grids_l[i], origs_l[i], pts_d, valid_d, pose, th0_l[i],
+                jnp.float32(spec.angular_step),
+                th0_l[i] - spec.n_angular * spec.angular_step,
+                th0_l[i] + spec.n_angular * spec.angular_step,
+                float(spec.resolution), int(size),
+            )
+            outs.append((jnp.where(live_l[i], sc, -jnp.inf), pose, cov))
+        s_l = jnp.stack([o[0] for o in outs])
+        p_l = jnp.stack([o[1] for o in outs])
+        c_l = jnp.stack([o[2] for o in outs])
+        # all_gather the tiny results; candidate order is device-major
+        # = original order (contiguous block sharding)
+        s_all = jax.lax.all_gather(s_l, axis).reshape(-1)
+        p_all = jax.lax.all_gather(p_l, axis).reshape(-1, 3)
+        c_all = jax.lax.all_gather(c_l, axis).reshape(-1, 3, 3)
+        k = jnp.argmax(s_all)
+        return s_all[k], p_all[k], c_all[k], k
+
+    sc, pose, cov, k = run(grids, origs, th0, live, jnp.asarray(pts),
+                           jnp.asarray(valid))
+    sc = float(sc)
+    if sc < min_score:
+        return None, sc, None, None
+    return (
+        int(k), sc, _np.asarray(pose).astype(_np.float64),
+        _np.asarray(cov).astype(_np.float64),
+    )
 
 
 def match_submap(

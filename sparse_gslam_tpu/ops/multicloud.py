@@ -201,16 +201,18 @@ class MulticloudConverter:
         cumulative raw odom pose (log_runner.cpp:113 zero_pose)."""
         ranges = np.asarray(ranges, dtype=np.float64)
         r = np.where(ranges >= self.range_max, np.inf, ranges)
-        pts_bl = self.table * r[:, None]
-        pts_odom = se2.apply(zero_pose, pts_bl)
         # inf * cos(angle) can produce nan for angle ~ +-pi/2; the
         # reference gets inf/nan likewise and filters non-finite later
+        with np.errstate(invalid="ignore"):
+            pts_bl = self.table * r[:, None]
+            pts_odom = se2.apply(zero_pose, pts_bl)
         self._cloud_odom = np.concatenate([self._cloud_odom, pts_odom])
 
         if len(self._cloud_odom) < self.window:
             return None
         self._cloud_odom = self._cloud_odom[-self.window :]
-        bl = se2.apply(se2.inverse(zero_pose), self._cloud_odom)
+        with np.errstate(invalid="ignore"):
+            bl = se2.apply(se2.inverse(zero_pose), self._cloud_odom)
 
         deltas = np.asarray(deltas, dtype=np.float64).reshape(-1, 3)
         n_scans = self.window // self.scan_size

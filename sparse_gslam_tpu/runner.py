@@ -196,8 +196,18 @@ def main(argv=None):
                     c.meas,
                 )
                 for c in system.backend.closures
-                if c.active
+                if c.active and not c.suppressed and c.kind == "loop"
             ]
+            n_local = sum(
+                1
+                for c in system.backend.closures
+                if c.active and c.kind == "local"
+            )
+            if n_local:
+                print(f"local refinement edges: {n_local}")
+            n_sup = system.backend.suppressed_closure_count
+            if n_sup:
+                print(f"consistency-suppressed closures: {n_sup}")
             pr = closure_pr(
                 triples, gt_times, gt_poses,
                 # a closure across the full candidate-gate distance is
@@ -219,7 +229,11 @@ def main(argv=None):
             from .eval.closures import interp_gt
             from .utils import se2
 
-            active = [c for c in system.backend.closures if c.active]
+            active = [
+                c
+                for c in system.backend.closures
+                if c.active and not c.suppressed and c.kind == "loop"
+            ]
             from .ops.solvers import closure_chi2
 
             g = system.backend._build_pg_data()

@@ -117,6 +117,33 @@ class SlamConfig:
     pg_solver: str = "auto"
     dist_solver_min_poses: int = 1024
     dist_block_size: int = 128
+    # Local scan-to-recent-submap refinement edges (models/backend.py
+    # _local_refine): on match ticks with no loop closure, GN-refine
+    # the query multiscan against the newest non-overlapping submap's
+    # high-res grid, seeded at the pose estimate (no exhaustive search
+    # -> no aliasing risk) and add a tight pose-graph edge. Bounds
+    # odometric drift BETWEEN revisits, which loop closures alone
+    # cannot (the sim-killian error budget in RESULTS.md shows a
+    # perfect-precision closure oracle still plateaus at ~0.28 m on
+    # long corridors). Not in the reference schema: the reference
+    # leans on its landmark frontend alone between closures.
+    local_refine: bool = True
+    # min fraction of query points on occupied (dilated) submap cells
+    # at the refined pose (rejects queries that left the submap's
+    # coverage or didn't align)
+    local_refine_min_overlap: float = 0.4
+    # covariance floor added to the GN-Hessian (Censi) covariance
+    # (match-resolution cell scale: measured per-edge errors on sim
+    # worlds are ~0.05-0.17 m even when the Censi sigma says less)
+    local_refine_sigma_xy: float = 0.1  # meters
+    local_refine_sigma_th: float = 0.02  # radians
+    local_refine_max_correction: float = 1.0  # reject larger jumps (m)
+    # skip the edge when the landmark frontend has >= this many
+    # observations per keyframe (and >=2 distinct landmarks) over the
+    # seam query -- its estimates are better than scan matching there
+    local_refine_lm_cover: float = 1.0
+    local_refine_max_dist: float = 0.0  # 0 = range_max+last_traj_length
+    local_refine_min_gap: int = 2  # min keyframe spacing between edges
     # jit bucket minima. On CPU small buckets are fastest; through the
     # TPU remote-compile tunnel every distinct shape costs up to ~60 s
     # to compile, while the solve itself is latency-bound (a P=64 LM

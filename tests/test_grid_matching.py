@@ -394,3 +394,165 @@ class TestBatchedPrunedMatching:
             min_score=0.7, stride=16,
         )
         assert ci is None
+
+
+class TestShardedMatching:
+    def test_sharded_matches_sequential(self):
+        """The shard_map candidate fan-out (SURVEY §2.7 row 1) must
+        pick the same closure as the single-device paths on an
+        8-device CPU mesh."""
+        import jax
+        from jax.sharding import Mesh
+
+        sm, pyr = TestMatching()._setup()
+        from sparse_gslam_tpu.ops.grid import precompute_pyramid
+
+        pyr5 = precompute_pyramid(sm.probs, 5)
+        gt = np.array([0.4, -0.3, 0.1])
+        base = np.concatenate(
+            [
+                np.column_stack(
+                    [np.full(50, 4.0), np.linspace(-0.5, 2.5, 50)]
+                ),
+                np.column_stack(
+                    [np.linspace(0.0, 2.0, 40), np.full(40, -1.0)]
+                ),
+            ]
+        )
+        query = se2.apply(se2.inverse(gt), base)
+        spec = matching.search_spec(2.0, 0.6, 8.0, 0.1)
+        grids = [pyr5[0], pyr5[0], pyr5[0]]
+        pooled = [pyr5[4], pyr5[4], pyr5[4]]
+        origins = [
+            sm.origin + jnp.asarray([30.0, 30.0]),
+            sm.origin,
+            sm.origin + jnp.asarray([-25.0, 10.0]),
+        ]
+        thetas = [0.3, 0.0, -0.2]
+        seq = matching.match_candidates_pruned(
+            grids, pooled, origins, thetas, query, spec,
+            min_score=0.5, stride=16,
+        )
+        devs = jax.devices("cpu")
+        assert len(devs) >= 8
+        mesh = Mesh(np.array(devs[:8]), ("cands",))
+        sh = matching.match_candidates_sharded(
+            grids, origins, thetas, query, spec, mesh, min_score=0.5
+        )
+        assert sh[0] == seq[0] == 1
+        assert abs(sh[1] - seq[1]) < 1e-5
+        np.testing.assert_allclose(sh[2], seq[2], atol=1e-5)
+        np.testing.assert_allclose(sh[3], seq[3], atol=1e-6)
+
+    def test_sharded_rejects_below_min_score(self):
+        import jax
+        from jax.sharding import Mesh
+
+        sm, pyr = TestMatching()._setup()
+        from sparse_gslam_tpu.ops.grid import precompute_pyramid
+
+        pyr5 = precompute_pyramid(sm.probs, 5)
+        query = np.random.default_rng(0).uniform(40, 60, (64, 2))
+        spec = matching.search_spec(2.0, 0.6, 8.0, 0.1)
+        mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("cands",))
+        ci, s, p, cov = matching.match_candidates_sharded(
+            [pyr5[0]], [sm.origin], [0.0], query, spec, mesh,
+            min_score=0.7,
+        )
+        assert ci is None
+
+
+class TestWindowCovCalibration:
+    """window_cov must report the score-surface shape honestly: a
+    sharply peaked match gets a tight sigma, a corridor-style ridge
+    gets a wide sigma ALONG the ridge (the alias direction) -- this is
+    what de-weights aliased loop closures in the pose graph."""
+
+    def _cov_for(self, probs, pts, res=0.1):
+        size = probs.shape[0]
+        origin = np.array([-size * res / 2, -size * res / 2], np.float32)
+        score = np.where(probs > 0, probs, 0.1).astype(np.float32)
+        n = 256
+        ptsb = np.zeros((n, 2), np.float32)
+        ptsb[: len(pts)] = pts
+        valid = np.arange(n) < len(pts)
+        step = 0.01
+        cov = matching.window_cov(
+            jnp.asarray(score), jnp.asarray(origin), jnp.asarray(ptsb),
+            jnp.asarray(valid), jnp.zeros(3, jnp.float32),
+            jnp.float32(0.0), jnp.float32(step), jnp.float32(-0.3),
+            jnp.float32(0.3), res, size,
+        )
+        return np.asarray(cov)
+
+    def test_ridge_gets_wide_sigma_along_corridor(self):
+        size, res = 128, 0.1
+        origin = -size * res / 2
+        probs = np.zeros((size, size), np.float32)
+        # two long parallel walls along x = a corridor along x
+        probs[10:118, 40] = 0.9
+        probs[10:118, 88] = 0.9
+        ys = np.array([40, 88])
+        xs = np.arange(30, 98, 2)
+        cells = np.array([(x, y) for x in xs for y in ys])
+        pts = (cells + 0.5) * res + origin
+        cov = self._cov_for(probs, pts)
+        sig = np.sqrt(np.diag(cov))
+        # wide along x (ridge), floor-tight across (y)
+        assert sig[0] > 2.5 * sig[1], sig
+        assert sig[1] < 0.35, sig  # ~the 2.5-cell floor
+
+    def test_peak_gets_tight_sigma(self):
+        size, res = 128, 0.1
+        origin = -size * res / 2
+        probs = np.zeros((size, size), np.float32)
+        probs[30:98, 40] = 0.9
+        probs[40, 30:98] = 0.9  # corner: constrains both axes
+        cells = np.concatenate(
+            [
+                np.stack([np.arange(30, 98, 2), np.full(34, 40)], 1),
+                np.stack([np.full(34, 40), np.arange(30, 98, 2)], 1),
+            ]
+        )
+        pts = (cells + 0.5) * res + origin
+        cov = self._cov_for(probs, pts)
+        sig = np.sqrt(np.diag(cov))
+        # both axes at the floor scale (no ridge inflation)
+        assert sig[0] < 0.35 and sig[1] < 0.35, sig
+
+
+class TestPlateauTieBreak:
+    def test_perfect_alignment_is_unbiased(self):
+        """The 2x2 dilation creates exact score plateaus; plain argmax
+        picked the plateau's most-negative corner, biasing every match
+        by up to -1 cell per axis (-0.1 m at match resolution). With
+        the centered tie-break, a query already in perfect alignment
+        must match at zero offset."""
+        from sparse_gslam_tpu.ops.grid import precompute_pyramid
+
+        res, size = 0.1, 256
+        origin = np.array([-12.8, -12.8], np.float32)
+        probs = np.zeros((size, size), np.float32)
+
+        def cell(w):
+            return int(np.floor((w - origin[0]) / res))
+
+        lo, hi = cell(-5.0), cell(5.0)
+        probs[lo, lo : hi + 1] = 0.9
+        probs[hi, lo : hi + 1] = 0.9
+        probs[lo : hi + 1, lo] = 0.9
+        probs[lo : hi + 1, hi] = 0.9
+        pyr = precompute_pyramid(jnp.asarray(probs), 5)
+        pts = []
+        for t in np.arange(-4.9, 4.9, 0.2):
+            for w in (lo, hi):
+                c = origin[0] + (w + 0.5) * res
+                pts += [(c, t), (t, c)]
+        pts = np.array(pts, np.float64)
+        spec = matching.search_spec(1.0, 0.3, 7.0, res)
+        ci, score, pose, cov = matching.match_candidates_pruned(
+            [pyr[0]], [pyr[4]], [jnp.asarray(origin)], [0.0], pts,
+            spec, 0.5, 16,
+        )
+        assert ci == 0 and score > 0.85
+        np.testing.assert_allclose(pose, np.zeros(3), atol=1e-6)

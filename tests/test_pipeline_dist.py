@@ -145,3 +145,30 @@ class TestEndToEndBlocked:
             np.stack(sys_dense.backend.pg_poses),
             atol=1e-4,
         )
+
+
+class TestEndToEndShardedMatching:
+    def test_full_run_with_sharded_matcher_matches_sequential(
+        self, pipeline_run
+    ):
+        """Re-run the whole pipeline with candidate matching fanned out
+        over an 8-device CPU mesh (backend.match_mesh, SURVEY §2.7
+        row 1); closures and trajectory must agree with the
+        single-device run."""
+        from jax.sharding import Mesh
+
+        d, frames, sys_seq, _ = pipeline_run
+        devs = jax.devices("cpu")
+        assert len(devs) >= 8
+        slam, ls = pipeline_configs(pg_solver="dense")
+        sys_m = SlamSystem(slam, ls, enable_backend=True)
+        sys_m.backend.match_mesh = Mesh(np.array(devs[:8]), ("cands",))
+        for fr in frames:
+            sys_m.process_frame(fr)
+        sys_m.final_cleanup()
+        assert sys_m.backend.closure_count == sys_seq.backend.closure_count
+        np.testing.assert_allclose(
+            np.stack(sys_m.backend.pg_poses),
+            np.stack(sys_seq.backend.pg_poses),
+            atol=1e-4,
+        )
