@@ -143,9 +143,15 @@ def ray_cast(pose, angles, walls, range_max):
     denom = d[:, None, 0] * v[None, :, 1] - d[:, None, 1] * v[None, :, 0]
     with np.errstate(divide="ignore", invalid="ignore"):
         t = (ao[..., 0] * v[None, :, 1] - ao[..., 1] * v[None, :, 0]) / denom
-        s = (ao[..., 0] * d[:, None, 1] - ao[..., 1] * d[:, None, 0]) / (
-            -denom
-        )
+        # s = cross(ao, d) / cross(d, v): crossing t*d - s*v = ao with
+        # d gives -s*cross(v, d) = cross(ao, d). (A sign error here
+        # once mirrored every wall's valid span about its first vertex,
+        # leaving whole corridor stretches blind -- all beams at
+        # range_max -- and starving the landmark frontend; see
+        # tests/test_simulator_raycast.py.)
+        s = (
+            ao[..., 0] * d[:, None, 1] - ao[..., 1] * d[:, None, 0]
+        ) / denom
     valid = (np.abs(denom) > 1e-12) & (t > 1e-6) & (s >= 0.0) & (s <= 1.0)
     t = np.where(valid, t, np.inf)
     return np.minimum(t.min(axis=1), range_max)

@@ -130,10 +130,9 @@ class SubmapLoopCloser:
         self.match_calls = 0
         # local-refinement accept/reject counters (diagnostics)
         self.local_stats = {
-            "gap": 0, "dist": 0, "no_submap": 0, "corr": 0,
-            "score": 0, "few_points": 0, "covered": 0, "accepted": 0,
+            "dist": 0, "no_submap": 0, "corr": 0, "score": 0,
+            "few_points": 0, "covered": 0, "accepted": 0,
         }
-        self._last_local_j = -(10**9)
         # optional jax.sharding.Mesh with a "blocks" axis: when set,
         # every pose-graph solve runs the shard_map multi-chip solver
         # (parallel/dist_solver.optimize_pose_graph_sharded)
@@ -209,7 +208,9 @@ class SubmapLoopCloser:
             rd, self.high_spec, cfg.hit_probability, cfg.miss_probability
         )
         depth = max(1, cfg.branch_and_bound_depth)
-        pyr = precompute_pyramid(sm_grid.probs, depth)
+        pyr = precompute_pyramid(
+            sm_grid.probs, depth, smooth=cfg.smoothing_kernel
+        )
         self.submaps.append(
             Submap(
                 anchor_idx=mid,
@@ -225,6 +226,8 @@ class SubmapLoopCloser:
             )
         )
         self.last_pose_idx = max(0, mid - cfg.submap_overlap_poses)
+        if cfg.local_refine:
+            self._chain_edges()
 
     # --------------------------------------------------------------------
     def _ensure_pg_init(self):
@@ -271,12 +274,6 @@ class SubmapLoopCloser:
         if snap is not None:
             result = self._match_search(snap)  # expensive; runs unlocked
         if result is None:
-            # no loop closure this tick: bound the accumulated drift
-            # with a local scan-to-recent-submap refinement edge
-            # (new-engine capability; see Closure.kind)
-            if self.config.local_refine:
-                with guard:
-                    self._local_refine()
             return False
         with guard:
             self._match_apply(snap, result)
@@ -548,166 +545,157 @@ class SubmapLoopCloser:
         self.optimize(iterations=20)
 
     # --------------------------------------------------------------------
-    def _local_refine(self) -> bool:
-        """Scan-to-recent-submap refinement edge (new-engine capability,
-        no reference counterpart -- the reference relies solely on its
-        landmark frontend between loop closures).
+    def _chain_edges(self) -> int:
+        """Submap chain edges (new-engine capability, no reference
+        counterpart -- the reference relies solely on its landmark
+        frontend between loop closures).
 
-        On a match tick that produced no loop closure, build a SHORT
-        query multiscan from the keyframes past the newest finalized
-        submap's end (so no query keyframe contributed to the grids)
-        and GN-refine it against that submap, seeded at the current
-        pose estimate -- first on the coarse dilated score grid (wide
-        convergence basin), then on the 0.05 m high-res grid. Seeding
+        Called from precompute() right after a new submap finalizes:
+        GN-refine the new submap's multicloud (restricted to keyframes
+        the target submap did NOT see) against the previous
+        `local_refine_hops` submaps' grids, seeded at the current pose
+        estimates -- first on the dilated score grid (wide convergence
+        basin), then on the raw grid (unbiased; the forward-looking
+        2x2 dilation centers wall bands at half-integer cells). Seeding
         at the estimate means there is no exhaustive search and hence
-        no aliasing risk; the edge is accepted only if the refined pose
+        no aliasing risk; an edge is accepted only if the refined pose
         stays near the seed AND enough query points land on occupied
-        submap cells. The resulting edge bounds odometric drift
-        accumulated since the submap was built -- the error term that
-        dominates long corridors (RESULTS.md sim-killian error budget:
-        a perfect-precision closure oracle still plateaus at ~0.28 m).
+        target cells. Covariance is Censi-style from the raw-grid GN
+        Hessian: ~zero information along grid-flat directions, so a
+        corridor's unconstrained axis carries no weight.
 
-        Called under the graph lock: the refinement is a fixed-shape
-        jitted GN (~ms), unlike the exhaustive matcher."""
+        These edges bound odometric drift BETWEEN revisits -- the error
+        that dominates long corridors (RESULTS.md killian error budget:
+        a perfect-precision closure oracle still plateaus at ~0.29 m;
+        the 8-60 s relation errors are pure chain drift). Multi-hop
+        edges (anchor k-2 -> anchor k) halve the accumulation rate
+        again. Runs under the graph lock (precompute's caller): two
+        fixed-shape jitted GNs per hop, ~ms each."""
         cfg = self.config
         stats = self.local_stats
         kfs = self.frontend.keyframes
-        n = len(kfs)
-        # newest submap with at least 2 query keyframes beyond it
-        sm = None
-        for cand in reversed(self.submaps):
-            if cand.end_idx <= n - 2:
-                sm = cand
-                break
-        if sm is None:
+        new = self.submaps[-1]
+        if len(self.submaps) < 2:
             stats["no_submap"] += 1
-            return False
-        qs = sm.end_idx
-        # short seam query: the overlap with the submap's observed
-        # region lives just past its end (forward-facing lidar), so a
-        # long query only dilutes the gate
-        qe = min(n, qs + 8)
-        mid = (qs + qe - 1) // 2
-        if mid - self._last_local_j < max(1, cfg.local_refine_min_gap):
-            stats["gap"] += 1
-            return False
+            return 0
         self._ensure_pg_init()
         map_pose = self._map_transforms()
-        bl = map_pose(mid)
-        # coarse work-skip only (the real gate is the overlap fraction
-        # below)
-        max_dist = cfg.local_refine_max_dist or (
-            cfg.range_max + cfg.last_traj_length
-        )
-        if np.linalg.norm(bl[:2] - map_pose(qs - 1)[:2]) > max_dist:
-            stats["dist"] += 1
-            return False
-        # landmark-coverage gate: where the line-landmark frontend has
-        # solid observations over the seam, its relative estimates are
-        # 2-3x more accurate than a scan-to-submap edge (measured on
-        # sim-office: frontend ~0.02-0.06 m vs edge ~0.07 m RMS), so
-        # adding the edge would only inject noise. Local edges are the
-        # substitute constraint for landmark-starved stretches -- long
-        # corridors, exactly where drift compounds.
-        obs = [
-            e
-            for e in self.frontend.obs_edges
-            if qs <= e.pose_idx < qe
-        ]
-        if (
-            len(obs) >= cfg.local_refine_lm_cover * (qe - qs)
-            and len({e.lm_idx for e in obs}) >= 2
-        ):
-            stats["covered"] += 1
-            return False
+        bl = map_pose(new.anchor_idx)
         est = self.frontend.estimates()
-        query = construct_multicloud(
-            [k.data for k in kfs], est, qs, mid, qe, returns_only=True
+        # coarse work-skip only (the real gate is the overlap fraction)
+        max_dist = cfg.local_refine_max_dist or (
+            cfg.range_max + 2.0 * cfg.submap_trajectory_length
         )
-        if len(query) < 12:
-            stats["few_points"] += 1
-            return False
-        anchor = map_pose(sm.anchor_idx)
-        seed = se2.relative(anchor, bl)
+        made = 0
 
         import jax.numpy as jnp
 
-        Nb = _bucket(len(query), 256)
-        ptsb = np.zeros((Nb, 2), np.float32)
-        ptsb[: len(query)] = query
-        valid = np.arange(Nb) < len(query)
-        # stage 1: refine on the DILATED match-resolution score grid,
-        # not the 0.05 m high-res grid: with sparse beams the high-res
-        # hit cells are isolated dots that a different viewpoint's
-        # samples never land on (measured mean prob ~0.1 at the
-        # ground-truth pose); the dilated grid turns them into ~0.3 m
-        # wall bands with a usable GN basin and honest overlap
-        # statistics. The overlap gate uses this stage's point probs.
-        pts_d = jnp.asarray(ptsb)
-        valid_d = jnp.asarray(valid)
-        coarse, _, probs = matching.refine_pose_cov(
-            sm.score_grid, sm.origin, float(sm.resolution),
-            pts_d, valid_d, jnp.asarray(seed, dtype=jnp.float32),
-        )
-        # stage 2: polish on the RAW (undilated) grid -- the
-        # forward-looking 2x2 dilation centers wall bands at
-        # half-integer cells, biasing a dilated-grid GN by ~-0.03 m
-        # per axis (measured; see TestPlateauTieBreak); the raw grid
-        # is symmetric about the true wall cells. Covariance comes
-        # from the raw-grid Hessian.
-        refined, cov, _ = matching.refine_pose_cov(
-            sm.probs, sm.origin, float(sm.resolution), pts_d, valid_d,
-            coarse,
-        )
-        refined = np.asarray(refined).astype(np.float64)
-        # reject a jump the pose estimate cannot plausibly have
-        # drifted: the refinement left its basin
-        if (
-            np.linalg.norm(refined[:2] - seed[:2])
-            > cfg.local_refine_max_correction
-            or abs(se2.wrap_angle(refined[2] - seed[2])) > 0.35
-        ):
-            stats["corr"] += 1
-            return False
-        # overlap gate: fraction of query points landing on occupied
-        # cells of the submap at the refined pose. Unknown cells score
-        # PMIN, so a query that mostly left the submap's observed
-        # region cannot pass.
-        probs = np.asarray(probs)[: len(query)]
-        overlap = float((probs > 0.55).mean())
-        if overlap < cfg.local_refine_min_overlap:
-            stats["score"] += 1
-            return False
-        # Censi covariance from the GN Hessian (anisotropic: ~zero
-        # information along grid-flat directions), floored at the
-        # high-res cell scale
-        cov = np.asarray(cov, np.float64)
-        cov += np.diag(
-            [
-                cfg.local_refine_sigma_xy**2,
-                cfg.local_refine_sigma_xy**2,
-                cfg.local_refine_sigma_th**2,
+        hops = min(cfg.local_refine_hops, len(self.submaps) - 1)
+        for hop in range(1, hops + 1):
+            prev = self.submaps[-1 - hop]
+            qs = max(new.start_idx, prev.end_idx)
+            qe = new.end_idx
+            if qe - qs < 2:
+                stats["few_points"] += 1
+                continue
+            if (
+                np.linalg.norm(bl[:2] - map_pose(prev.anchor_idx)[:2])
+                > max_dist
+            ):
+                stats["dist"] += 1
+                continue
+            # landmark-coverage gate: where the line-landmark frontend
+            # has solid observations over the query span, its relative
+            # estimates are 2-3x more accurate than a scan-to-submap
+            # edge (measured on sim-office: frontend ~0.02-0.06 m vs
+            # edge ~0.07 m RMS), so adding the edge would only inject
+            # noise. Chain edges are the substitute constraint for
+            # landmark-starved stretches -- long corridors, exactly
+            # where drift compounds.
+            obs = [
+                e
+                for e in self.frontend.obs_edges
+                if qs <= e.pose_idx < qe
             ]
-        )
-        self.closures.append(
-            Closure(
-                i=sm.anchor_idx, j=mid, meas=refined,
-                info=np.linalg.inv(cov), kind="local",
+            if (
+                len(obs) >= cfg.local_refine_lm_cover * (qe - qs)
+                and len({e.lm_idx for e in obs}) >= 2
+            ):
+                stats["covered"] += 1
+                continue
+            query = construct_multicloud(
+                [k.data for k in kfs], est, qs, new.anchor_idx, qe,
+                returns_only=True,
             )
-        )
-        self._last_local_j = mid
-        stats["accepted"] += 1
-        if os.environ.get("SLAM_LOG_MATCHES"):
-            sig = np.sqrt(np.diag(cov))
-            print(
-                f"[local] kf{sm.anchor_idx}->kf{mid} "
-                f"overlap={overlap:.2f} "
-                f"corr=({refined[0]-seed[0]:+.3f},{refined[1]-seed[1]:+.3f},"
-                f"{se2.wrap_angle(refined[2]-seed[2]):+.3f}) "
-                f"sigma=({sig[0]:.3f},{sig[1]:.3f},{sig[2]:.3f})",
-                flush=True,
+            if len(query) < 12:
+                stats["few_points"] += 1
+                continue
+            if len(query) > 512:  # bound the jit bucket / GN cost
+                query = query[
+                    np.linspace(0, len(query) - 1, 512).astype(int)
+                ]
+            seed = se2.relative(map_pose(prev.anchor_idx), bl)
+            Nb = _bucket(len(query), 256)
+            ptsb = np.zeros((Nb, 2), np.float32)
+            ptsb[: len(query)] = query
+            valid = np.arange(Nb) < len(query)
+            pts_d = jnp.asarray(ptsb)
+            valid_d = jnp.asarray(valid)
+            coarse, _, probs = matching.refine_pose_cov(
+                prev.score_grid, prev.origin, float(prev.resolution),
+                pts_d, valid_d, jnp.asarray(seed, dtype=jnp.float32),
             )
-        return True
+            refined, cov, _ = matching.refine_pose_cov(
+                prev.probs, prev.origin, float(prev.resolution),
+                pts_d, valid_d, coarse,
+            )
+            refined = np.asarray(refined).astype(np.float64)
+            # reject a jump the pose estimate cannot plausibly have
+            # drifted: the refinement left its basin
+            if (
+                np.linalg.norm(refined[:2] - seed[:2])
+                > cfg.local_refine_max_correction
+                or abs(se2.wrap_angle(refined[2] - seed[2])) > 0.35
+            ):
+                stats["corr"] += 1
+                continue
+            # overlap gate: fraction of query points landing on
+            # occupied (dilated) cells at the refined pose. Unknown
+            # cells score PMIN, so a query that mostly left the
+            # target's observed region cannot pass.
+            pr = np.asarray(probs)[: len(query)]
+            overlap = float((pr > 0.55).mean())
+            if overlap < cfg.local_refine_min_overlap:
+                stats["score"] += 1
+                continue
+            cov = np.asarray(cov, np.float64)
+            cov += np.diag(
+                [
+                    cfg.local_refine_sigma_xy**2,
+                    cfg.local_refine_sigma_xy**2,
+                    cfg.local_refine_sigma_th**2,
+                ]
+            )
+            self.closures.append(
+                Closure(
+                    i=prev.anchor_idx, j=new.anchor_idx, meas=refined,
+                    info=np.linalg.inv(cov), kind="local",
+                )
+            )
+            stats["accepted"] += 1
+            made += 1
+            if os.environ.get("SLAM_LOG_MATCHES"):
+                sig = np.sqrt(np.diag(cov))
+                print(
+                    f"[chain] kf{prev.anchor_idx}->kf{new.anchor_idx} "
+                    f"hop={hop} n={len(query)} overlap={overlap:.2f} "
+                    f"corr=({refined[0]-seed[0]:+.3f},"
+                    f"{refined[1]-seed[1]:+.3f},"
+                    f"{se2.wrap_angle(refined[2]-seed[2]):+.3f}) "
+                    f"sigma=({sig[0]:.3f},{sig[1]:.3f},{sig[2]:.3f})",
+                    flush=True,
+                )
+        return made
 
     # --------------------------------------------------------------------
     def _build_pg_data(self):
@@ -790,6 +778,7 @@ class SubmapLoopCloser:
             )
         cls = [self.closures[k] for k in idx]
         m = len(cls)
+        covs = [np.linalg.inv(c.info) for c in cls]
         conflict = [set() for _ in range(m)]
         support = [set() for _ in range(m)]
         for a in range(m):
@@ -804,15 +793,24 @@ class SubmapLoopCloser:
                 err = se2.relative(
                     se2.compose(A, cb.meas), se2.compose(ca.meas, B)
                 )
-                # tolerance = matcher precision + odometric drift over
-                # the connecting chain segments, capped below the ~1 m
-                # self-similarity period that separates aliases
-                tol_t = min(1.0, 0.45 + 0.02 * (gi + gj))
-                tol_r = min(0.15, 0.08 + 0.002 * (gi + gj))
-                ok = (
-                    np.linalg.norm(err[:2]) <= tol_t
-                    and abs(se2.wrap_angle(err[2])) <= tol_r
+                err[2] = se2.wrap_angle(err[2])
+                # Mahalanobis consistency: weight by both closures'
+                # covariances (anchors of one revisit share heading, so
+                # frame rotation between the covs is negligible) plus
+                # odometric drift over the connecting chain segments.
+                # Euclidean tolerances would flag two honest corridor
+                # closures as conflicting over their (explicitly
+                # low-information) along-ridge components.
+                g = gi + gj
+                S = covs[a] + covs[b] + np.diag(
+                    [
+                        (0.15 + 0.01 * g) ** 2,
+                        (0.15 + 0.01 * g) ** 2,
+                        (0.03 + 0.001 * g) ** 2,
+                    ]
                 )
+                chi2 = float(err @ np.linalg.solve(S, err))
+                ok = chi2 <= 11.345
                 (support if ok else conflict)[a].add(b)
                 (support if ok else conflict)[b].add(a)
         # iteratively drop the most-conflicted / least-supported until

@@ -227,7 +227,28 @@ def build_submap_grid(
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
-def precompute_pyramid(probs, depth: int):
+def binomial_blur(x, s: int):
+    """(2s+1)-tap separable binomial (approx. Gaussian) blur with PMIN
+    border -- the reference's convolve2DFast smoothing kernel
+    (fast_correlative_scan_matcher_2d.cc:439-444; their 3x3
+    [1/16 1/8 1/16; 1/8 1/4 1/8; 1/16 1/8 1/16] is s=1). The reference
+    ships it commented out of the match path; datasets/sweep.py:54-75
+    ablates it, and scripts/sweep.py --kernels reproduces that
+    ablation here. NOTE: smoothing scales peak scores down (a
+    perfectly-aligned point on a 1-cell wall scores ~0.5 instead of
+    ~0.9 under s=1), so loop_closure_min_score must be co-tuned."""
+    import math as _math
+
+    k = jnp.asarray(
+        [_math.comb(2 * s, i) for i in range(2 * s + 1)], x.dtype
+    )
+    k = k / jnp.sum(k)
+    xp = jnp.pad(x, s, constant_values=PMIN)
+    x1 = jax.vmap(lambda r: jnp.convolve(r, k, mode="valid"))(xp)
+    return jax.vmap(lambda c: jnp.convolve(c, k, mode="valid"))(x1.T).T
+
+
+def precompute_pyramid(probs, depth: int, smooth: int = 0):
     """Max-pool precomputation stack (PrecomputationGrid2D semantics,
     fast_correlative_scan_matcher_2d.cc:368-468): level i holds, at
     full resolution, the max of scores over the forward-looking
@@ -239,8 +260,16 @@ def precompute_pyramid(probs, depth: int):
     sparse-scan matching more tolerant. Replicated.
 
     Unknown cells score PMIN. Returns (depth, size, size) float32.
+
+    smooth > 0 applies the reference's (commented-out) binomial
+    smoothing kernel of half-width `smooth` to the base scores BEFORE
+    pooling, so every pyramid level remains an exact upper bound of
+    the (smoothed) level-0 scores and branch-and-bound pruning stays
+    exact.
     """
     score0 = jnp.where(probs > 0.0, probs, PMIN)
+    if smooth > 0:
+        score0 = binomial_blur(score0, smooth)
     levels = []
     for i in range(depth):
         width = (1 << i) + 1

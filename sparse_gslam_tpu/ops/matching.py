@@ -38,6 +38,14 @@ import numpy as np
 
 from .grid import PMIN
 
+# Score plateaus narrower than the per-point sampling noise carry no
+# information: mean scores over n~100-500 points have binomial noise
+# sqrt(p(1-p)/n) ~ 0.02-0.04, so candidates within this band of the
+# max are statistically tied and the centered tie-break (odometry
+# prior) decides. A genuinely peaked match exceeds its surroundings by
+# ~0.1-0.3 and is unaffected.
+SCORE_NOISE_BAND = 0.02
+
 # ---------------------------------------------------------------------------
 # search geometry (SearchParameters, correlative_scan_matcher_2d.cc:27-54)
 # ---------------------------------------------------------------------------
@@ -302,7 +310,7 @@ def window_cov(
     theta_hi,
     resolution: float,
     size: int,
-    w_lin: int = 15,
+    w_lin: int = 31,
     w_rot: int = 5,
 ):
     """Score-moment covariance by direct re-scoring of the window
@@ -315,7 +323,10 @@ def window_cov(
       along-corridor match gets the SAME ~0.3 m sigma as a sharply
       peaked one, and a meter-level alias error then carries full
       weight in the pose graph. The wider window measures the actual
-      ridge width.
+      ridge width. Default +-31 cells (~+-3 m): corridor ridges span
+      the full search window; truncating at +-1.5 m reported
+      sigma~0.8 m for a ridge whose aliases sit 2 m out, which still
+      let them pull the graph (measured on sim-killian).
     - moment weights count only the mass within a noise band below the
       window maximum, w = max(score - (smax - delta), 0): raw scores
       sit on a large constant floor (~PMIN..0.5), which makes the raw
@@ -414,18 +425,23 @@ def best_candidate_with_cov(
     window (fast_correlative_scan_matcher_2d.cc:522-560)."""
     R = scores.shape[0]
     W = scores.shape[1]
-    # argmax with centered tie-break: the 2x2 dilation of the score
-    # grid creates exact score plateaus 1-2 cells wide; plain argmax
-    # always picks the plateau's most-negative corner, biasing every
-    # closure by up to -1 cell per axis (measured -0.1 m on a synthetic
-    # square room). Among near-ties, prefer the candidate nearest the
-    # search center (= the pose estimate seed).
+    # argmax with centered tie-break: (a) the 2x2 dilation of the score
+    # grid creates exact score plateaus 1-2 cells wide, and plain
+    # argmax always picks a plateau's most-negative corner, biasing
+    # every closure by up to -1 cell per axis (measured -0.1 m on a
+    # synthetic square room); (b) a corridor's score RIDGE is flat to
+    # within the per-point sampling noise (~sqrt(p(1-p)/n) ~ 0.02), so
+    # plain argmax picks a random noise bump meters away along the
+    # ridge -- a drift-reinforcing alias. Among candidates within the
+    # noise band of the max, prefer the one nearest the search center
+    # (= the pose estimate seed): MAP with a flat likelihood, where the
+    # odometry prior is the only information left.
     m = jnp.max(scores)
     d = jnp.arange(W) - n_linear
     r2 = (d[:, None] ** 2 + d[None, :] ** 2).astype(scores.dtype)
     flat_idx = jnp.argmax(
         jnp.where(
-            scores >= m - 1e-6, -r2[None], -jnp.inf
+            scores >= m - SCORE_NOISE_BAND, -r2[None], -jnp.inf
         ).reshape(-1)
     )
     k = flat_idx // (W * W)
@@ -576,7 +592,7 @@ def refine_pose_cov(
     per-point occupancy probabilities (for overlap gating).
 
     Used by the local-refinement edge path (models/backend.py
-    _local_refine, no reference counterpart): unlike the exhaustive
+    _chain_edges, no reference counterpart): unlike the exhaustive
     matcher's score-moment covariance (window_cov), the covariance here
     comes from the occupied-space Gauss-Newton Hessian at the solution,
     cov = sigma^2 (J^T J)^{-1} with sigma^2 the per-residual variance.
@@ -755,15 +771,16 @@ def match_submaps_batched(
     return out
 
 
-def _argmax_center_tiebreak(scores, n_linear, tol=1e-6):
+def _argmax_center_tiebreak(scores, n_linear, tol=None):
     """(k, i, j) of the max of a (R, W, W) score volume; among
-    near-ties (exact plateaus created by the 2x2-dilated score grid),
-    the candidate nearest the translation-window center -- i.e. the
-    pose-estimate seed. Plain argmax always picks a plateau's
-    most-negative corner, biasing every match by up to -1 cell per
-    axis (see best_candidate_with_cov)."""
+    near-ties -- exact plateaus created by the 2x2-dilated score grid,
+    and corridor ridges flat to within the sampling noise -- the
+    candidate nearest the translation-window center, i.e. the
+    pose-estimate seed (see best_candidate_with_cov for why)."""
     import numpy as _np
 
+    if tol is None:
+        tol = SCORE_NOISE_BAND
     m = scores.max()
     W = scores.shape[1]
     d = _np.arange(W) - n_linear

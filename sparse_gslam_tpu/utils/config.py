@@ -88,6 +88,14 @@ class SlamConfig:
     loop_closing_threads: int = 8  # reference thread count; here = match batch
     # robust kernel
     dcs_phi: float = 1.0
+    # score-grid smoothing kernel half-width (0 = off, 1 = the
+    # reference's 3x3 binomial, 2 = 5x5, ...). The reference ships the
+    # kernel commented out of its match path
+    # (fast_correlative_scan_matcher_2d.cc:439-444) and ablates it in
+    # datasets/sweep.py; scripts/sweep.py --kernels does the same
+    # here. Smoothing scales peak scores down, so co-tune
+    # loop_closure_min_score when enabling.
+    smoothing_kernel: int = 0
     # driver
     match_interval: int = 10
     data_provider: str = "carmen"
@@ -117,17 +125,18 @@ class SlamConfig:
     pg_solver: str = "auto"
     dist_solver_min_poses: int = 1024
     dist_block_size: int = 128
-    # Local scan-to-recent-submap refinement edges (models/backend.py
-    # _local_refine): on match ticks with no loop closure, GN-refine
-    # the query multiscan against the newest non-overlapping submap's
-    # high-res grid, seeded at the pose estimate (no exhaustive search
-    # -> no aliasing risk) and add a tight pose-graph edge. Bounds
-    # odometric drift BETWEEN revisits, which loop closures alone
-    # cannot (the sim-killian error budget in RESULTS.md shows a
-    # perfect-precision closure oracle still plateaus at ~0.28 m on
-    # long corridors). Not in the reference schema: the reference
-    # leans on its landmark frontend alone between closures.
+    # Submap chain edges (models/backend.py _chain_edges): when a new
+    # submap finalizes, GN-refine its multicloud against the previous
+    # `local_refine_hops` submaps' grids, seeded at the pose estimate
+    # (no exhaustive search -> no aliasing risk), and add pose-graph
+    # edges with Censi covariances. Bounds odometric drift BETWEEN
+    # revisits, which loop closures alone cannot (the sim-killian
+    # error budget in RESULTS.md shows a perfect-precision closure
+    # oracle still plateaus at ~0.29 m on long corridors). Not in the
+    # reference schema: the reference leans on its landmark frontend
+    # alone between closures.
     local_refine: bool = True
+    local_refine_hops: int = 2  # previous submaps to chain against
     # min fraction of query points on occupied (dilated) submap cells
     # at the refined pose (rejects queries that left the submap's
     # coverage or didn't align)
@@ -136,14 +145,13 @@ class SlamConfig:
     # (match-resolution cell scale: measured per-edge errors on sim
     # worlds are ~0.05-0.17 m even when the Censi sigma says less)
     local_refine_sigma_xy: float = 0.1  # meters
-    local_refine_sigma_th: float = 0.02  # radians
+    local_refine_sigma_th: float = 0.04  # radians
     local_refine_max_correction: float = 1.0  # reject larger jumps (m)
     # skip the edge when the landmark frontend has >= this many
     # observations per keyframe (and >=2 distinct landmarks) over the
     # seam query -- its estimates are better than scan matching there
     local_refine_lm_cover: float = 1.0
-    local_refine_max_dist: float = 0.0  # 0 = range_max+last_traj_length
-    local_refine_min_gap: int = 2  # min keyframe spacing between edges
+    local_refine_max_dist: float = 0.0  # 0 = range_max + 2*traj_len
     # jit bucket minima. On CPU small buckets are fastest; through the
     # TPU remote-compile tunnel every distinct shape costs up to ~60 s
     # to compile, while the solve itself is latency-bound (a P=64 LM

@@ -556,3 +556,43 @@ class TestPlateauTieBreak:
         )
         assert ci == 0 and score > 0.85
         np.testing.assert_allclose(pose, np.zeros(3), atol=1e-6)
+
+
+class TestSmoothingKernel:
+    def test_binomial_blur_matches_reference_kernel(self):
+        """s=1 must equal the reference's 3x3 kernel
+        [1/16 1/8 1/16; 1/8 1/4 1/8; 1/16 1/8 1/16]
+        (fast_correlative_scan_matcher_2d.cc:439-444)."""
+        from sparse_gslam_tpu.ops.grid import PMIN, binomial_blur
+
+        rng = np.random.default_rng(3)
+        x = rng.uniform(0.1, 0.9, (16, 16)).astype(np.float32)
+        got = np.asarray(binomial_blur(jnp.asarray(x), 1))
+        k = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], np.float64) / 16
+        xp = np.pad(x, 1, constant_values=PMIN)
+        want = np.zeros_like(x)
+        for i in range(16):
+            for j in range(16):
+                want[i, j] = (xp[i : i + 3, j : j + 3] * k).sum()
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_smoothed_pyramid_keeps_bound_property(self):
+        """Smoothing applies BEFORE pooling, so every level must still
+        upper-bound level 0 over its stride window (exact B&B)."""
+        from sparse_gslam_tpu.ops.grid import precompute_pyramid
+
+        rng = np.random.default_rng(5)
+        probs = np.where(
+            rng.uniform(size=(64, 64)) > 0.9,
+            rng.uniform(0.5, 0.9, (64, 64)),
+            0.0,
+        ).astype(np.float32)
+        pyr = np.asarray(precompute_pyramid(jnp.asarray(probs), 4, smooth=1))
+        for lvl in range(1, 4):
+            w = 1 << lvl  # stride window the level must dominate
+            for i in range(0, 64 - w, 7):
+                for j in range(0, 64 - w, 7):
+                    assert (
+                        pyr[lvl, i, j]
+                        >= pyr[0, i : i + w, j : j + w].max() - 1e-6
+                    )

@@ -30,6 +30,9 @@ def pipeline_configs(**overrides):
         std_r=0.05, range_max=10.0, scan_size=11, multicloud_size=88,
         landmark_max_gap=0.5, match_interval=20, dcs_phi=10.0,
         max_match_distance=10.0, submap_trajectory_length=6.0,
+        # the fixture needs closures to exercise the solvers; the
+        # fixed-raycast world peaks near 0.64 on this small config
+        loop_closure_min_score=0.6,
     )
     base.update(overrides)
     return (
