@@ -94,9 +94,10 @@ class Closure:
     info: np.ndarray  # (3,3)
     active: bool = True
     # "loop" = correlative loop closure (the reference's only kind);
-    # "local" = scan-to-recent-submap refinement edge (new-engine
-    # capability: bounds odometric drift BETWEEN revisits, which loop
-    # closures alone cannot -- see RESULTS.md killian error budget)
+    # "local" = submap-to-previous-submap chain edge; "kf" = per-
+    # keyframe scan-to-previous-submap pin (both new-engine
+    # capabilities: they bound odometric drift BETWEEN revisits, which
+    # loop closures alone cannot -- see RESULTS.md error budgets)
     kind: str = "loop"
     # recomputed by _gate_consistent_loops before every solve: True =
     # currently outvoted by pairwise odometry-consistency (may clear
@@ -133,6 +134,12 @@ class SubmapLoopCloser:
             "dist": 0, "no_submap": 0, "corr": 0, "score": 0,
             "few_points": 0, "covered": 0, "accepted": 0,
         }
+        # per-keyframe refinement counters (diagnostics)
+        self.kf_stats = {
+            "no_submap": 0, "corr": 0, "score": 0, "few_points": 0,
+            "accepted": 0,
+        }
+        self._kf_edge_done = 1  # next keyframe to consider for kf edges
         # optional jax.sharding.Mesh with a "blocks" axis: when set,
         # every pose-graph solve runs the shard_map multi-chip solver
         # (parallel/dist_solver.optimize_pose_graph_sharded)
@@ -169,6 +176,12 @@ class SubmapLoopCloser:
         )
 
     @property
+    def kf_edge_count(self) -> int:
+        return sum(
+            1 for c in self.closures if c.active and c.kind == "kf"
+        )
+
+    @property
     def false_closure_count(self) -> int:
         return self.false_closures
 
@@ -182,6 +195,8 @@ class SubmapLoopCloser:
         kfs = self.frontend.keyframes
         if not kfs:
             return
+        if self.config.kf_refine:
+            self._keyframe_edges()
         est = self.frontend.estimates()
         traj_len = 0.0
         mid = -1
@@ -545,6 +560,148 @@ class SubmapLoopCloser:
         self.optimize(iterations=20)
 
     # --------------------------------------------------------------------
+    def _refine_on_submap(self, sm: Submap, query: np.ndarray, seed,
+                          max_correction: float, min_overlap: float,
+                          high_res: bool = False):
+        """Two-stage GN refinement of query points against a submap's
+        grids, seeded at the current pose estimate: first on the
+        dilated score grid (wide convergence basin), then on the raw
+        probability grid (unbiased -- the forward-looking 2x2 dilation
+        centers wall bands at half-integer cells). Covariance is
+        Censi-style from the raw-grid GN Hessian, so grid-flat
+        directions carry ~zero information.
+
+        Returns (refined (3,), cov (3,3), overlap) on success or
+        (None, reason, None) where reason is a stats-counter key."""
+        import jax.numpy as jnp
+
+        Nb = _bucket(len(query), 256)
+        ptsb = np.zeros((Nb, 2), np.float32)
+        ptsb[: len(query)] = query
+        valid = np.arange(Nb) < len(query)
+        pts_d = jnp.asarray(ptsb)
+        valid_d = jnp.asarray(valid)
+        coarse, _, probs = matching.refine_pose_cov(
+            sm.score_grid, sm.origin, float(sm.resolution),
+            pts_d, valid_d, jnp.asarray(seed, dtype=jnp.float32),
+        )
+        if high_res:
+            # final polish on the 0.05 m grid: halves the
+            # discretization error of the match-resolution grid
+            refined, cov, _ = matching.refine_pose_cov(
+                sm.high_res, sm.high_origin, 0.05,
+                pts_d, valid_d, coarse,
+            )
+        else:
+            refined, cov, _ = matching.refine_pose_cov(
+                sm.probs, sm.origin, float(sm.resolution),
+                pts_d, valid_d, coarse,
+            )
+        refined = np.asarray(refined).astype(np.float64)
+        # reject a jump the pose estimate cannot plausibly have
+        # drifted: the refinement left its basin
+        if (
+            np.linalg.norm(refined[:2] - seed[:2]) > max_correction
+            or abs(se2.wrap_angle(refined[2] - seed[2])) > 0.35
+        ):
+            return None, "corr", None
+        # overlap gate: fraction of query points landing on occupied
+        # (dilated) cells at the refined pose. Unknown cells score
+        # PMIN, so a query that mostly left the target's observed
+        # region cannot pass.
+        pr = np.asarray(probs)[: len(query)]
+        overlap = float((pr > 0.55).mean())
+        if overlap < min_overlap:
+            return None, "score", None
+        return refined, np.asarray(cov, np.float64), overlap
+
+    # --------------------------------------------------------------------
+    def _keyframe_edges(self) -> int:
+        """Per-keyframe scan-to-previous-submap refinement pins
+        (new-engine capability, no reference counterpart).
+
+        Each completed keyframe's own scan store is GN-refined against
+        the newest finalized submap that did NOT include it, producing
+        an anchor->keyframe edge. Between loop closures the pose graph
+        would otherwise be pure dead-reckoning (the line-landmark
+        frontend's relative information is bounded by the multicloud
+        window's own odometry drift -- measured: tightening the line
+        covariances 6x leaves 5-15 s drift unchanged, RESULTS.md error
+        budget); with per-keyframe pins the drift accumulates per
+        SUBMAP hop instead of per keyframe. Gates and covariance as in
+        _refine_on_submap; runs under the caller's lock (precompute),
+        two fixed-shape jitted GNs per keyframe, ~ms each."""
+        cfg = self.config
+        stats = self.kf_stats
+        if not cfg.kf_refine or not self.submaps:
+            return 0
+        kfs = self.frontend.keyframes
+        self._ensure_pg_init()
+        map_pose = self._map_transforms()
+        made = 0
+        # a keyframe's scan store is complete once its successor exists
+        last_complete = len(kfs) - 1
+        for j in range(self._kf_edge_done, last_complete):
+            sm = None
+            for s in reversed(self.submaps):
+                if s.end_idx <= j:
+                    sm = s
+                    break
+            if sm is None:
+                stats["no_submap"] += 1
+                continue
+            # query = short multicloud centered on j (its own scans
+            # plus the neighbors', stitched by current estimates): a
+            # single 11-beam keyframe store is too degenerate to pin
+            # reliably (measured: median 0.16 m / p90 0.74 m pin error
+            # vs GT; 3-keyframe windows fix the geometry while adding
+            # only ~1 keyframe of odometry correlation)
+            est = self.frontend.estimates()
+            qs = max(0, j - 1)
+            query = construct_multicloud(
+                [k.data for k in kfs], est, qs, j, j + 2,
+                returns_only=True,
+            )
+            if len(query) < 12:
+                stats["few_points"] += 1
+                continue
+            if len(query) > 512:  # bound the jit bucket / GN cost
+                query = query[
+                    np.linspace(0, len(query) - 1, 512).astype(int)
+                ]
+            seed = se2.relative(map_pose(sm.anchor_idx), map_pose(j))
+            refined, cov, overlap = self._refine_on_submap(
+                sm, query, seed, cfg.kf_refine_max_correction,
+                cfg.local_refine_min_overlap, high_res=True,
+            )
+            if refined is None:
+                stats[cov] += 1
+                continue
+            cov = cov + np.diag(
+                [
+                    cfg.kf_refine_sigma_xy**2,
+                    cfg.kf_refine_sigma_xy**2,
+                    cfg.kf_refine_sigma_th**2,
+                ]
+            )
+            self.closures.append(
+                Closure(
+                    i=sm.anchor_idx, j=j, meas=refined,
+                    info=np.linalg.inv(cov), kind="kf",
+                )
+            )
+            stats["accepted"] += 1
+            made += 1
+            if os.environ.get("SLAM_LOG_MATCHES"):
+                print(
+                    f"[kfpin] kf{sm.anchor_idx}->kf{j} n={len(query)} "
+                    f"overlap={overlap:.2f}",
+                    flush=True,
+                )
+        self._kf_edge_done = max(self._kf_edge_done, last_complete)
+        return made
+
+    # --------------------------------------------------------------------
     def _chain_edges(self) -> int:
         """Submap chain edges (new-engine capability, no reference
         counterpart -- the reference relies solely on its landmark
@@ -635,40 +792,13 @@ class SubmapLoopCloser:
                     np.linspace(0, len(query) - 1, 512).astype(int)
                 ]
             seed = se2.relative(map_pose(prev.anchor_idx), bl)
-            Nb = _bucket(len(query), 256)
-            ptsb = np.zeros((Nb, 2), np.float32)
-            ptsb[: len(query)] = query
-            valid = np.arange(Nb) < len(query)
-            pts_d = jnp.asarray(ptsb)
-            valid_d = jnp.asarray(valid)
-            coarse, _, probs = matching.refine_pose_cov(
-                prev.score_grid, prev.origin, float(prev.resolution),
-                pts_d, valid_d, jnp.asarray(seed, dtype=jnp.float32),
+            refined, cov, overlap = self._refine_on_submap(
+                prev, query, seed, cfg.local_refine_max_correction,
+                cfg.local_refine_min_overlap,
             )
-            refined, cov, _ = matching.refine_pose_cov(
-                prev.probs, prev.origin, float(prev.resolution),
-                pts_d, valid_d, coarse,
-            )
-            refined = np.asarray(refined).astype(np.float64)
-            # reject a jump the pose estimate cannot plausibly have
-            # drifted: the refinement left its basin
-            if (
-                np.linalg.norm(refined[:2] - seed[:2])
-                > cfg.local_refine_max_correction
-                or abs(se2.wrap_angle(refined[2] - seed[2])) > 0.35
-            ):
-                stats["corr"] += 1
+            if refined is None:
+                stats[cov] += 1
                 continue
-            # overlap gate: fraction of query points landing on
-            # occupied (dilated) cells at the refined pose. Unknown
-            # cells score PMIN, so a query that mostly left the
-            # target's observed region cannot pass.
-            pr = np.asarray(probs)[: len(query)]
-            overlap = float((pr > 0.55).mean())
-            if overlap < cfg.local_refine_min_overlap:
-                stats["score"] += 1
-                continue
-            cov = np.asarray(cov, np.float64)
             cov += np.diag(
                 [
                     cfg.local_refine_sigma_xy**2,

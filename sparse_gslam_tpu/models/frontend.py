@@ -136,7 +136,8 @@ class Frontend:
     def __init__(self, config: SlamConfig):
         self.config = config
         self.odom_prop = OdomErrorPropagator(
-            config.std_x, config.std_y, config.std_w
+            config.std_x, config.std_y, config.std_w,
+            getattr(config, "noise_model", "reference"),
         )
         self.keyframes: list[Keyframe] = []
         self.landmarks: list[Landmark] = []

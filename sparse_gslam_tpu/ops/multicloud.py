@@ -51,16 +51,57 @@ def odom_step_jacobians(dpose, theta):
     return Jp, Ju
 
 
+def step_control_var(dpose, var, model: str = "reference"):
+    """Per-step control-noise variance (diagonal, body frame of the
+    step delta).
+
+    model="reference": diag(|dx^2| var_x, |dy dx| var_y, |dth dx|
+    var_w) -- scaled by the step's forward motion, exactly as the
+    reference (odom_error_propagator.h:40-42). Degenerate for straight
+    driving: lateral/heading noise vanishes with dy/dth even though
+    real encoders drift there too.
+
+    model="additive": sigma_x = std_x (|dx|+eps), sigma_y = std_y
+    (|dx|+eps), sigma_th = std_w (|dth|+|dx|+eps) -- lateral and
+    heading noise scale with distance traveled (the standard
+    wheel-odometry model; also exactly the noise the simulator
+    injects, eval/simulate.py:201-215), so calibrated stds stay
+    meaningful on straight stretches."""
+    if model == "additive":
+        eps = 0.01
+        s = np.array(
+            [
+                abs(dpose[0]) + eps,
+                abs(dpose[0]) + eps,
+                abs(dpose[2]) + abs(dpose[0]) + eps,
+            ]
+        )
+        return s * s * var
+    return (
+        np.abs(
+            np.array(
+                [
+                    dpose[0] * dpose[0],
+                    dpose[1] * dpose[0],
+                    dpose[2] * dpose[0],
+                ]
+            )
+        )
+        * var
+    )
+
+
 class OdomErrorPropagator:
     """Dead-reckoning covariance propagation (odom_error_propagator.h).
 
-    Control noise per step: diag(|dx^2| var_x, |dy dx| var_y,
-    |dth dx| var_w) -- scaled by the step's forward motion, exactly as
-    the reference (odom_error_propagator.h:40-42).
-    """
+    Control noise per step: see step_control_var (model selects the
+    reference's forward-scaled form or the additive wheel-odometry
+    form)."""
 
-    def __init__(self, std_x: float, std_y: float, std_w: float):
+    def __init__(self, std_x: float, std_y: float, std_w: float,
+                 model: str = "reference"):
         self.var = np.array([std_x**2, std_y**2, std_w**2])
+        self.model = model
         self.reset()
 
     def reset(self):
@@ -70,15 +111,7 @@ class OdomErrorPropagator:
     def step(self, dpose):
         dpose = np.asarray(dpose, dtype=np.float64)
         Jp, Ju = odom_step_jacobians(dpose, self.pose[2])
-        covu = np.abs(
-            np.array(
-                [
-                    dpose[0] * dpose[0],
-                    dpose[1] * dpose[0],
-                    dpose[2] * dpose[0],
-                ]
-            )
-        ) * self.var
+        covu = step_control_var(dpose, self.var, self.model)
         # note: the reference's J(1,3)=-st / J(1,4)=ct row order means its
         # "Ju" block is R(theta)^T-like; replicate exactly:
         JuT = Ju  # Ju above already matches updateJacobian's (3:6) block
@@ -86,21 +119,21 @@ class OdomErrorPropagator:
         self.pose = se2.compose(self.pose, dpose)
 
 
-def propagate_chain(deltas, var):
+def propagate_chain(deltas, var, model: str = "reference"):
     """Pose+cov propagation over a chain of deltas.
 
     deltas: (K,3). Returns pose (3,), cov (3,3) after composing all
     steps starting from identity -- equivalent to repeated
     OdomErrorPropagator.step.
     """
-    prop = OdomErrorPropagator(1.0, 1.0, 1.0)
+    prop = OdomErrorPropagator(1.0, 1.0, 1.0, model)
     prop.var = var
     for d in deltas:
         prop.step(d)
     return prop.pose, prop.cov
 
 
-def propagate_suffixes(deltas, var):
+def propagate_suffixes(deltas, var, model: str = "reference"):
     """All-suffix propagation: for each i, the pose+cov of composing
     deltas[i:], each starting from identity.
 
@@ -118,7 +151,7 @@ def propagate_suffixes(deltas, var):
         active = np.arange(K + 1) <= j
         d = deltas[j]
         Jp, Ju = odom_step_jacobians(d, poses[:, 2])
-        covu = np.abs(np.array([d[0] * d[0], d[1] * d[0], d[2] * d[0]])) * var
+        covu = step_control_var(d, var, model)
         new_cov = Jp @ covs @ np.swapaxes(Jp, -1, -2) + Ju @ np.diag(
             covu
         ) @ np.swapaxes(Ju, -1, -2)
@@ -183,6 +216,7 @@ class MulticloudConverter:
         self.var_odom = np.array(
             [config.std_x**2, config.std_y**2, config.std_w**2]
         )
+        self.noise_model = getattr(config, "noise_model", "reference")
         self.range_max = config.range_max
         angles = config.angle_min + config.angle_increment * np.arange(
             config.scan_size
@@ -218,7 +252,9 @@ class MulticloudConverter:
         n_scans = self.window // self.scan_size
         delta_offset = n_scans - 1
         tail = deltas[len(deltas) - delta_offset :]
-        suffix_poses, suffix_covs = propagate_suffixes(tail, self.var_odom)
+        suffix_poses, suffix_covs = propagate_suffixes(
+            tail, self.var_odom, self.noise_model
+        )
         pts_out, cov_out = [], []
         for i in range(n_scans):
             # scan i's chain = the last (delta_offset - i) deltas

@@ -59,6 +59,13 @@ class SlamConfig:
     std_y: float = 1.0
     std_w: float = 1.0
     std_r: float = 0.1
+    # control-noise form: "reference" = the reference's forward-scaled
+    # diag(|dx^2|, |dy dx|, |dth dx|) (odom_error_propagator.h:40-42);
+    # "additive" = sigma proportional to distance traveled in ALL
+    # three components (standard wheel-odometry model; representable
+    # calibration for straight driving -- see
+    # ops/multicloud.step_control_var)
+    noise_model: str = "reference"
     # lidar geometry
     angle_min: float = -math.pi / 2
     angle_max: float = math.pi / 2
@@ -152,6 +159,16 @@ class SlamConfig:
     # seam query -- its estimates are better than scan matching there
     local_refine_lm_cover: float = 1.0
     local_refine_max_dist: float = 0.0  # 0 = range_max + 2*traj_len
+    # per-keyframe scan-to-previous-submap pins (models/backend.py
+    # _keyframe_edges): bound drift per submap hop instead of per
+    # keyframe. Gates shared with local_refine_*; the sigmas below are
+    # added to the Censi covariance of each pin.
+    kf_refine: bool = True
+    kf_refine_sigma_xy: float = 0.04  # meters
+    kf_refine_sigma_th: float = 0.015  # radians
+    # the seed is at most a few keyframes of drift from truth, so the
+    # basin gate is much tighter than the submap-hop one
+    kf_refine_max_correction: float = 0.4  # meters
     # jit bucket minima. On CPU small buckets are fastest; through the
     # TPU remote-compile tunnel every distinct shape costs up to ~60 s
     # to compile, while the solve itself is latency-bound (a P=64 LM
