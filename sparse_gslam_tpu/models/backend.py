@@ -381,10 +381,17 @@ class SubmapLoopCloser:
         import jax
 
         stride = 1 << (max(1, cfg.branch_and_bound_depth) - 1)
+        # CPU: the sequential pruned loop (running-best floor prunes
+        # real work, host syncs are free). Non-CPU: the fused one-call
+        # matcher (ops/matching.fused_match) -- coarse bounds, top-K
+        # exact FFT planes, argmax and covariance all in ONE device
+        # program; round-2's chunked multi-call path paid 597 ms in
+        # gather-bound bound scans plus ~30-50 ms per host sync through
+        # the tunnel.
         match_fn = (
             matching.match_candidates_pruned
             if jax.default_backend() == "cpu"
-            else matching.match_candidates_pruned_batched
+            else matching.match_candidates_fused
         )
         # search centered on the estimated relative pose: shift each
         # candidate's origin by its t_est (see _match_snapshot)
@@ -480,12 +487,12 @@ class SubmapLoopCloser:
         ptsb = np.zeros((Nb, 2), np.float32)
         ptsb[: len(query)] = query
         valid = np.arange(Nb) < len(query)
-        refined = np.asarray(
-            matching.refine_pose(
-                sm.high_res, sm.high_origin, 0.05, jnp.asarray(ptsb),
-                jnp.asarray(valid), jnp.asarray(pose, dtype=jnp.float32),
-            )
-        ).astype(np.float64)
+        refined, censi_cov, _ = matching.refine_pose_cov(
+            sm.high_res, sm.high_origin, 0.05, jnp.asarray(ptsb),
+            jnp.asarray(valid), jnp.asarray(pose, dtype=jnp.float32),
+        )
+        refined = np.asarray(refined).astype(np.float64)
+        cov = self._closure_cov(np.asarray(censi_cov, np.float64), cov)
 
         # diagnostic oracle gate (eval harness only): with
         # SLAM_GT_ORACLE=<name>.gt, reject closures whose measurement
@@ -513,6 +520,52 @@ class SubmapLoopCloser:
                 )
                 return None
         return dict(sm=sm, refined=refined, cov=cov)
+
+    def _closure_cov(self, censi_cov: np.ndarray, win_cov: np.ndarray):
+        """Closure covariance = high-res GN (Censi) measurement
+        covariance + the EXCESS score-surface ambiguity of the
+        correlative window + a small floor.
+
+        Round-2 shipped window_cov alone, whose calibration floor
+        (2.5 cells = 0.25 m sigma) made every closure ~7x weaker than
+        its measured error (edge budget on sim-office: closure RMS
+        0.036 m vs sigma 0.25 -- the graph barely listened to its best
+        measurements). The Censi covariance of the high-res refinement
+        is the honest local precision; window_cov still carries the
+        one thing Censi cannot see -- multi-modal/ridge ambiguity
+        within the search window (an along-corridor alias makes
+        window_cov wide in that direction while the local Hessian
+        looks sharp). Combine: keep window_cov's width only where it
+        EXCEEDS its own calibration floor (whitened-eigenvalue
+        clipping, unit-consistent), and add it to the Censi term.
+
+        closure_cov_mode="window" restores the round-2 behavior for
+        ablation."""
+        cfg = self.config
+        if cfg.closure_cov_mode == "window":
+            return win_cov
+        res = self.spec.resolution
+        spec_step = 2.5  # window_cov floor scale (see matching.window_cov)
+        f = np.array(
+            [spec_step * res, spec_step * res, 2.5 * 0.01], np.float64
+        )
+        # whiten by the floor, keep only the above-floor excess
+        Fi = np.diag(1.0 / f)
+        M = Fi @ win_cov @ Fi
+        M = 0.5 * (M + M.T)
+        w, V = np.linalg.eigh(M)
+        excess = (
+            np.diag(f) @ V @ np.diag(np.maximum(w - 1.0, 0.0)) @ V.T
+            @ np.diag(f)
+        )
+        floor = np.diag(
+            [
+                cfg.closure_sigma_xy**2,
+                cfg.closure_sigma_xy**2,
+                cfg.closure_sigma_th**2,
+            ]
+        )
+        return censi_cov + excess + floor
 
     def extend_chain(self):
         """Extend the pose-graph chain to the CURRENT keyframe count

@@ -130,6 +130,16 @@ class SlamConfig:
     # loop closer). Replaces the reference's single g2o GN solve at
     # submap_loop_closer.cpp:286-288.
     pg_solver: str = "auto"
+    # Loop-closure covariance model (models/backend.py _closure_cov):
+    # "hybrid" (default) = high-res-GN Censi covariance + the
+    # above-floor excess of the correlative window covariance (ridge
+    # ambiguity) + the floor below; "window" = round-2 behavior, the
+    # raw window covariance with its 2.5-cell calibration floor
+    # (measured ~7x weaker than the actual closure error on the sim
+    # worlds -- see scripts/edge_budget.py).
+    closure_cov_mode: str = "window"
+    closure_sigma_xy: float = 0.03  # meters
+    closure_sigma_th: float = 0.01  # radians
     dist_solver_min_poses: int = 1024
     dist_block_size: int = 128
     # Submap chain edges (models/backend.py _chain_edges): when a new
