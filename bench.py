@@ -84,7 +84,14 @@ def make_matcher_case(n_cands=16, size=384, n_points=128, seed=0):
     origin = np.array([-size * res / 2, -size * res / 2])
     occ = np.argwhere(grids[-1] > 0.7)
     sel = rng.choice(len(occ), size=n_points, replace=True)
-    pts_map = origin[None, :] + (occ[sel] + 0.5) * res
+    # jitter off exact cell centers: centered points make the cell
+    # assignment a knife-edge floor() boundary after rotation, so CPU
+    # and TPU fp rounding pick different cells and scores diverge by
+    # ~0.1 -- a bench artifact real sensor returns never produce
+    pts_map = (
+        origin[None, :]
+        + (occ[sel] + 0.5 + rng.uniform(-0.2, 0.2, (n_points, 2))) * res
+    )
     th, t = 0.1, np.array([0.8, -0.5])
     c, s = np.cos(-th), np.sin(-th)
     pts = (pts_map - t) @ np.array([[c, -s], [s, c]]).T
@@ -116,11 +123,16 @@ def time_matcher(reps=3):
     thetas = [0.0] * n_cands
     stride = 1 << (depth - 1)
 
-    fn = (
-        matching.match_candidates_pruned
-        if jax.default_backend() == "cpu"
-        else matching.match_candidates_pruned_batched
-    )
+    if jax.default_backend() == "cpu":
+        fn = matching.match_candidates_pruned
+    else:
+        import functools
+
+        # the product path (models/backend._match_search): ONE device
+        # program for the whole candidate set
+        fn = functools.partial(
+            matching.match_candidates_fused, c_bucket=16
+        )
     # warm (compiles)
     out = fn(score_grids, pooled, origins, thetas, pts.astype(np.float32),
              spec, 0.6, stride)

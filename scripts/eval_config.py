@@ -73,6 +73,8 @@ def main():
                 "suppressed": b.suppressed_closure_count,
                 "local_edges": b.local_edge_count,
                 "local_stats": b.local_stats,
+                "kf_edges": b.kf_edge_count,
+                "kf_stats": b.kf_stats,
             }
         )
     )

@@ -168,11 +168,29 @@ class SlamSystem:
         # pull the chain to the last keyframe so tail-of-run local
         # refinement edges participate in the final optimization
         self.backend.extend_chain()
+        if self.config.final_rematch:
+            # global re-match sweep: anchor density is the dominant
+            # remaining ATE term (see backend.rematch_all docstring)
+            self.backend.rematch_all()
         self.backend.prune_false_closures()
         self.backend.optimize(
             iterations=self.config.final_opt_iterations,
             gnc_scale=self.config.final_gnc_scale,
         )
+        if self.config.final_refine_rounds > 0:
+            # rebuild grids at the optimized poses and re-measure every
+            # closure: match-time stitching distortion is the dominant
+            # closure error term (backend.refine_map docstring)
+            self.backend.refine_map(
+                rounds=self.config.final_refine_rounds,
+                iterations=self.config.final_opt_iterations,
+                gnc_scale=self.config.final_gnc_scale,
+            )
+            self.backend.prune_false_closures()
+            self.backend.optimize(
+                iterations=self.config.final_opt_iterations,
+                gnc_scale=self.config.final_gnc_scale,
+            )
 
     # ------------------------------------------------------------------
     def write_result(self, path: str):

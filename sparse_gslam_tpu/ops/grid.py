@@ -226,6 +226,71 @@ def build_submap_grid(
                       spec.resolution)
 
 
+def insert_range_data(
+    probs,  # (size, size) existing grid (jnp)
+    grid_origin,  # (2,) grid origin in the grid frame
+    range_data,  # RangeData2D (one keyframe's scans, own frame)
+    pose,  # (3,) se2 store frame -> grid frame (None = identity)
+    spec: GridSpec,
+    hit_p: float = 0.7,
+    miss_p: float = 0.4,
+    n_steps: int = 96,
+):
+    """Insert one keyframe's range store into an EXISTING grid at
+    `pose` -- the incremental active-submap insertion of the
+    Cartographer local-SLAM pattern (the reference's batch submap
+    build, range_data_inserter_2d.cc:51-94, applied one keyframe at a
+    time so each new keyframe can first be MATCHED against the grid
+    built from its predecessors). Bucketed shapes: one jit variant per
+    (S_pad, B) bucket."""
+    from ..utils import se2
+
+    pts = np.asarray(range_data.points)
+    metas = range_data.meta
+    S = len(metas)
+    if S == 0 or len(pts) == 0:
+        return probs
+    if pose is not None:
+        pts = se2.apply(pose, pts)
+    origins = np.stack([m[2] for m in metas])
+    if pose is not None:
+        origins = origins + pose[:2]
+    counts = []
+    prev = 0
+    for re_, e_, _ in metas:
+        counts.append(e_ - prev)
+        prev = e_
+    B = 4
+    while B < max(max(counts), 1):
+        B *= 2
+    S_pad = 8
+    while S_pad < S:
+        S_pad *= 2
+    scan_pts = np.zeros((S_pad, B, 2), np.float32)
+    scan_kind = np.zeros((S_pad, B), np.int8)
+    i = 0
+    for s, (re_, e_, _) in enumerate(metas):
+        n_hit = re_ - i
+        n_all = e_ - i
+        scan_pts[s, :n_all] = pts[i:e_]
+        scan_kind[s, :n_hit] = 1
+        scan_kind[s, n_hit:n_all] = 2
+        i = e_
+    origins_pad = np.zeros((S_pad, 2), np.float32)
+    origins_pad[:S] = origins
+    return insert_rays(
+        probs,
+        jnp.asarray(grid_origin, jnp.float32),
+        jnp.asarray(origins_pad),
+        jnp.asarray(scan_pts),
+        jnp.asarray(scan_kind),
+        jnp.asarray([hit_p, miss_p], jnp.float32),
+        spec.resolution,
+        n_steps,
+        spec.size,
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def binomial_blur(x, s: int):
     """(2s+1)-tap separable binomial (approx. Gaussian) blur with PMIN

@@ -1137,6 +1137,87 @@ def match_candidates_pruned_batched(
 
 
 # ---------------------------------------------------------------------------
+# small-window exhaustive matching (per-keyframe pins)
+# ---------------------------------------------------------------------------
+
+
+def correlate_window_host(
+    score_grid,  # (S, S) numpy level-0 (dilated) score grid
+    origin,  # (2,)
+    resolution: float,
+    points,  # (N, 2) numpy
+    thetas,  # (R,) numpy
+    n_linear: int,
+):
+    """Exhaustive (rotation x offset) scores for a SMALL window, direct
+    numpy gathers on the host. For per-keyframe pin windows (~+-7
+    cells, ~33 rotations, <=128 points) the work is ~0.5M lookups --
+    far below FFT break-even, and cheap enough to run per keyframe on
+    the host even when the backend computes on TPU. Same score
+    function as correlate_rotations (mean of grid values, PMIN
+    out-of-grid). Returns (R, W, W)."""
+    S = score_grid.shape[0]
+    c, s = np.cos(thetas), np.sin(thetas)
+    px = c[:, None] * points[None, :, 0] - s[:, None] * points[None, :, 1]
+    py = s[:, None] * points[None, :, 0] + c[:, None] * points[None, :, 1]
+    cx = np.floor((px - origin[0]) / resolution).astype(np.int64)
+    cy = np.floor((py - origin[1]) / resolution).astype(np.int64)
+    d = np.arange(-n_linear, n_linear + 1)
+    gx = cx[:, :, None] + d[None, None, :]  # (R, N, W)
+    gy = cy[:, :, None] + d[None, None, :]
+    inx = (gx >= 0) & (gx < S)
+    iny = (gy >= 0) & (gy < S)
+    vx = np.clip(gx, 0, S - 1)
+    vy = np.clip(gy, 0, S - 1)
+    # vals[r, p, ox, oy] = grid[cx+ox, cy+oy]
+    vals = score_grid[vx[:, :, :, None], vy[:, :, None, :]]
+    vals = np.where(
+        inx[:, :, :, None] & iny[:, :, None, :], vals, PMIN
+    )
+    return vals.mean(axis=1)  # (R, W, W)
+
+
+def score_volume_cov(
+    scores,  # (R, W, W) numpy score volume (full search window)
+    thetas,  # (R,)
+    init_theta: float,
+    resolution: float,
+    n_linear: int,
+):
+    """Band-weighted second-moment covariance over a full small score
+    volume -- window_cov's estimator (see its docstring for the
+    calibration rationale) applied to an already-computed volume
+    instead of re-scoring device-side. Moments are about the weighted
+    mean, so the coordinate origin cancels."""
+    smax = scores.max()
+    smin = scores.min()
+    delta = max(0.05, 0.15 * (smax - smin))
+    w = np.clip(scores - (smax - delta), 0.0, None) + 1e-9
+    d = (np.arange(scores.shape[1]) - n_linear) * resolution
+    X = np.stack(
+        np.broadcast_arrays(
+            d[None, :, None],
+            d[None, None, :],
+            (thetas - init_theta)[:, None, None],
+        ),
+        axis=-1,
+    ).reshape(-1, 3)
+    sflat = w.reshape(-1)
+    ssum = sflat.sum()
+    u = (X * sflat[:, None]).sum(0) / ssum
+    K = np.einsum("ni,nj,n->ij", X, X, sflat) / ssum
+    cov = K - np.outer(u, u)
+    step = thetas[1] - thetas[0] if len(thetas) > 1 else 0.01
+    return cov + np.diag(
+        [
+            (2.5 * resolution) ** 2,
+            (2.5 * resolution) ** 2,
+            (2.5 * step) ** 2,
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
 # fused single-call matcher (TPU product path)
 #
 # Round-2 profiling on v5e through the remote tunnel: the chunked
@@ -1255,9 +1336,11 @@ def fused_match(
     # correlation over all offset BLOCKS (the offset lattice quantized
     # the same way), max over blocks = the per-plane bound.
     P = size // stride  # coarse blocks per side
-    # offset block range: floor(o/stride) for o in [-L, L]
+    # offset block range: floor((phi + o)/stride) for o in [-L, L] and
+    # cell phase phi in [0, stride) -- the quantized cell can land one
+    # block further than floor(L/stride)
     ko_lo = -((n_linear + stride - 1) // stride)
-    ko_hi = n_linear // stride
+    ko_hi = (n_linear + stride - 1) // stride
     PAD = -ko_lo  # coarse-grid padding so shifted lookups stay in-bounds
     PADH = ko_hi
     # coarse pooled grid (C, P, P): max over the two stride-phase samples
@@ -1427,10 +1510,13 @@ def match_candidates_fused(
     stride: int,
     fft_margin_bucket: int = 128,
     K: int = 128,
+    c_bucket: int = 1,
 ):
     """Host wrapper over fused_match with the same contract as
     match_candidates_pruned: (best_idx or None, score, pose, cov).
-    Widens K (2x, then exhaustive) when the exactness flag fails."""
+    Widens K (4x, then exhaustive) when the exactness flag fails.
+    c_bucket: minimum padded candidate count (freeze the compiled
+    shape on slow-compile backends)."""
     import numpy as _np
 
     size = score_grids[0].shape[0]
@@ -1443,7 +1529,7 @@ def match_candidates_fused(
     pts[:N] = points
     valid = _np.arange(n_bucket) < N
     # pow2-pad the candidate set (compiled-shape bound)
-    Cp = 1
+    Cp = max(1, c_bucket)
     while Cp < C:
         Cp *= 2
     R_full = 2 * spec.n_angular + 1

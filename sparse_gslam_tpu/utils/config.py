@@ -137,9 +137,20 @@ class SlamConfig:
     # raw window covariance with its 2.5-cell calibration floor
     # (measured ~7x weaker than the actual closure error on the sim
     # worlds -- see scripts/edge_budget.py).
-    closure_cov_mode: str = "window"
+    closure_cov_mode: str = "hybrid"
     closure_sigma_xy: float = 0.03  # meters
     closure_sigma_th: float = 0.01  # radians
+    # Global re-match sweep at final cleanup (backend.rematch_all):
+    # match every submap pair within range, not just the live tail.
+    final_rematch: bool = True
+    # Iterative map refinement at final cleanup (backend.refine_map):
+    # rebuild grids at the optimized poses, re-measure every closure,
+    # re-solve. Kept as a capability but DEFAULT OFF: on the sim
+    # worlds re-measured edges shrink on paper (0.083 -> 0.053 RMS)
+    # yet ATE worsens (0.082 -> 0.094-0.127) -- re-measurement against
+    # grids rebuilt from the same estimates correlates the edge errors
+    # with the current solution, which the graph then trusts.
+    final_refine_rounds: int = 0
     dist_solver_min_poses: int = 1024
     dist_block_size: int = 128
     # Submap chain edges (models/backend.py _chain_edges): when a new
@@ -179,6 +190,17 @@ class SlamConfig:
     # the seed is at most a few keyframes of drift from truth, so the
     # basin gate is much tighter than the submap-hop one
     kf_refine_max_correction: float = 0.4  # meters
+    # round-3 pin redesign (models/backend.py _pin_match): pins are
+    # small-window EXHAUSTIVE correlative matches (no seeded-GN basin
+    # escapes; measured round-2 pin error 0.38 m RMS vs claimed 0.046)
+    kf_search_window: float = 0.8  # meters each side of the seed
+    kf_angular_window: float = 0.2  # radians each side
+    kf_min_score: float = 0.55  # correlative accept threshold
+    # min fraction of query points on occupied HIGH-RES cells at the
+    # refined pose: keeps only keyframes that genuinely re-observe the
+    # older submap (few but 0.02 m-grade pins; loosening this admitted
+    # 10x more pins at 0.15 m error -- measured, scripts/edge_budget.py)
+    kf_min_overlap: float = 0.4
     # jit bucket minima. On CPU small buckets are fastest; through the
     # TPU remote-compile tunnel every distinct shape costs up to ~60 s
     # to compile, while the solve itself is latency-bound (a P=64 LM

@@ -155,50 +155,51 @@ def build_tasks(config, ladder: int = 4):
              lambda N=N: _get_pg_solver(config.dcs_phi)(_pg_dummy(N, 1)))
         )
 
-    # matcher shapes for this config's grid geometry
+    # matcher shapes for this config's grid geometry: the fused
+    # one-call matcher compiles ONE shape per dataset (rotation count
+    # frozen to range_max, candidate axis padded to 16 -- see
+    # models/backend._match_search), plus the high-res refinement
+    # kernels the closure/pin paths call
     extent = (
         config.submap_trajectory_length + 2.0 * config.range_max + 2.0
     )
     size = int(math.ceil(extent / config.submap_resolution / 64.0) * 64)
-    fft = size + 128
-    n_lin = int(
-        math.ceil(config.linear_search_window / config.submap_resolution)
-    )
+    hsize = int(math.ceil(extent / 0.05 / 64.0) * 64)
     grid = jnp.zeros((size, size), jnp.float32)
     origin = jnp.zeros(2, jnp.float32)
     pts = jnp.zeros((256, 2), jnp.float32)
     valid = jnp.zeros(256, bool)
     stride = 1 << (max(1, config.branch_and_bound_depth) - 1)
-
-    def warm_bounds(csize):
-        spec_th = jnp.zeros((csize, 129), jnp.float32)
-        matching.rotation_upper_bounds_batch(
-            jnp.zeros((csize, size, size), jnp.float32),
-            jnp.zeros((csize, 2), jnp.float32), spec_th, pts, valid,
-            float(config.submap_resolution), n_lin, size, stride,
-        )
-
-    for csize in (1, 2, 4, 8, 16):
-        tasks.append(("bounds c%d" % csize,
-                      lambda c=csize: warm_bounds(c)))
-
-    def warm_corr(Rb):
-        matching.correlate_rotations(
-            grid, origin, pts, valid, jnp.zeros(Rb, jnp.float32),
-            float(config.submap_resolution), n_lin, size, fft,
-        )
-
-    for Rb in (8, 16, 32, 64, 128, 256):
-        tasks.append(("corr R%d" % Rb, lambda R=Rb: warm_corr(R)))
-
-    tasks.append(
-        ("window_cov",
-         lambda: matching.window_cov(
-             grid, origin, pts, valid, jnp.zeros(3, jnp.float32),
-             jnp.float32(0.0), jnp.float32(0.01), jnp.float32(-0.5),
-             jnp.float32(0.5), float(config.submap_resolution), size,
-         ))
+    spec = matching.search_spec(
+        config.linear_search_window, config.angular_search_window,
+        config.range_max, config.submap_resolution,
     )
+
+    def warm_fused():
+        matching.match_candidates_fused(
+            [grid], [grid], [origin], [0.0],
+            np.zeros((4, 2), np.float32), spec, 0.7, stride,
+            c_bucket=16,
+        )
+
+    tasks.append(("fused c16", warm_fused))
+
+    def warm_refine(gs, npts):
+        matching.refine_pose_cov(
+            jnp.zeros((gs, gs), jnp.float32), origin, 0.05,
+            jnp.zeros((npts, 2), jnp.float32), jnp.zeros(npts, bool),
+            jnp.zeros(3, jnp.float32),
+        )
+
+    for npts in (256, 512):
+        tasks.append(
+            ("refine hi %d" % npts,
+             lambda n=npts: warm_refine(hsize, n))
+        )
+        tasks.append(
+            ("refine lo %d" % npts,
+             lambda n=npts: warm_refine(size, n))
+        )
     return tasks
 
 

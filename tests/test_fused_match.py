@@ -96,6 +96,49 @@ class TestFusedMatch:
         assert a[0] == b[0]
         assert abs(a[1] - b[1]) < 1e-5
 
+    def test_boundary_offset_stride16(self):
+        """Best match at an offset near the search-window edge, stride
+        16: the quantized cell phase can push the coarse block shift
+        one past floor(L/stride) -- a bound that misses that block
+        under-estimates the winning plane and silently truncates the
+        search (regression: round-3 bench found a 0.80-scoring
+        neighbor instead of the true 0.89 match)."""
+        rng = np.random.default_rng(7)
+        size, res = 192, 0.1
+        grid = np.full((size, size), 0.15, np.float32)
+        for _ in range(6):
+            x0, y0 = rng.integers(20, size - 20, 2)
+            ln = int(rng.integers(40, 100))
+            if rng.random() < 0.5:
+                grid[x0 : min(x0 + ln, size - 1), y0] = 0.9
+            else:
+                grid[x0, y0 : min(y0 + ln, size - 1)] = 0.9
+        origin = np.array([-size * res / 2, -size * res / 2])
+        occ = np.argwhere(grid > 0.7)
+        sel = rng.choice(len(occ), size=80, replace=True)
+        pts_map = origin[None, :] + (occ[sel] + 0.5) * res
+        # true offset +4.9 m: lands in the last offset block of a
+        # 5 m window at stride 16
+        t = np.array([4.9, -4.9])
+        pts = (pts_map - t).astype(np.float32)
+        depth = 5
+        spec = matching.search_spec(5.0, 0.3, 6.0, res)
+        pyr = np.asarray(precompute_pyramid(jnp.asarray(grid), depth))
+        sg = [jnp.asarray(pyr[0])]
+        pooled = [jnp.asarray(pyr[depth - 1])]
+        origins = [jnp.asarray(origin, jnp.float32)]
+        stride = 1 << (depth - 1)
+        a = matching.match_candidates_pruned(
+            sg, pooled, origins, [0.0], pts, spec, 0.3, stride
+        )
+        b = matching.match_candidates_fused(
+            sg, pooled, origins, [0.0], pts, spec, 0.3, stride, K=16
+        )
+        assert a[0] == b[0] == 0
+        assert abs(a[1] - b[1]) < 1e-5
+        np.testing.assert_allclose(a[2], b[2], atol=1e-5)
+        assert abs(a[2][0] - 4.9) < 0.3 and abs(a[2][1] + 4.9) < 0.3
+
     def test_coarse_bounds_are_upper_bounds(self):
         """The stage-A coarse bound of every plane must dominate the
         plane's exact best score (the exactness flag rests on this)."""
