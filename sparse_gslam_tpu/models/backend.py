@@ -588,6 +588,17 @@ class SubmapLoopCloser:
         cfg = self.config
         if cfg.closure_cov_mode == "window":
             return win_cov
+        # sharpen only UNAMBIGUOUS matches: when the window moments
+        # report a translational ridge (sigma above the window's own
+        # 0.25 m calibration floor), the argmax itself may be an alias
+        # that genuinely outscored the true pose -- sharpening its
+        # cross-ridge/rotation components then drags the graph
+        # (measured on sim-killian: hybrid-everywhere 0.363 vs
+        # window 0.188; office closures are floor-sharp and gain from
+        # hybrid, 0.22 -> 0.082)
+        w_t = np.linalg.eigvalsh(win_cov[:2, :2])
+        if float(np.sqrt(w_t.max())) > cfg.closure_ridge_sigma:
+            return win_cov
         return self._cov_hybrid(
             censi_cov, win_cov, 0.01,
             cfg.closure_sigma_xy, cfg.closure_sigma_th,
@@ -1154,7 +1165,11 @@ class SubmapLoopCloser:
         DENSITY is the lever. All acceptance machinery (min_score,
         chi2 prune, pairwise consistency voting) applies unchanged.
         Affordable because the fused matcher makes a candidate-set
-        match ~65 ms on TPU. Returns the number of closures added."""
+        match ~65 ms on TPU. Acceptance uses the dataset's ORIGINAL
+        min_score, not the relaxed 0.5 the final tail re-match runs at:
+        a global sweep at 0.5 floods corridor worlds with
+        self-similarity aliases (measured on sim-killian: +39 closures,
+        ATE 0.188 -> 0.236). Returns the number of closures added."""
         cfg = self.config
         kfs = self.frontend.keyframes
         if len(self.submaps) < 2 or not kfs:
@@ -1241,7 +1256,7 @@ class SubmapLoopCloser:
                 [c[1] for c in cands],
                 query,
                 spec,
-                float(self.loop_closure_min_score),
+                float(cfg.loop_closure_min_score),
                 stride,
             )
             if ci is None:

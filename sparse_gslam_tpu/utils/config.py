@@ -140,6 +140,11 @@ class SlamConfig:
     closure_cov_mode: str = "hybrid"
     closure_sigma_xy: float = 0.03  # meters
     closure_sigma_th: float = 0.01  # radians
+    # window-cov translational sigma above which a closure is treated
+    # as ridge-ambiguous and NOT sharpened (see backend._closure_cov;
+    # the window floor itself reports ~0.25 m for a perfectly sharp
+    # match, so anything clearly above it indicates a real ridge)
+    closure_ridge_sigma: float = 0.32  # meters
     # Global re-match sweep at final cleanup (backend.rematch_all):
     # match every submap pair within range, not just the live tail.
     final_rematch: bool = True
