@@ -18,6 +18,28 @@ import sys
 import time
 
 
+def _dump_periodic_map(system, slam_cfg, args, prefix, n):
+    """Periodic occupancy-map dump (--map-every): the live-rate
+    visualization surface (reference visualizer.cpp:287-384 publishes
+    occupancy maps from a background thread at visualize_rate)."""
+    from .eval.maps import render_map, save_map_png
+
+    est = system.frontend.estimates()
+    if system.backend is not None and system.backend.pose_count > 0:
+        import numpy as np
+
+        pg = system.backend.pose_estimates()
+        est = np.concatenate([pg, est[len(pg):]])
+    if len(est) < 2:
+        return
+    probs, origin, res = render_map(
+        system.frontend.keyframes, est, resolution=slam_cfg.map_resolution
+    )
+    base = args.map_png or (prefix + "-map.png")
+    path = base.rsplit(".", 1)[0] + f"-{n:05d}.png"
+    save_map_png(path, probs, est, origin, resolution=res)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dataset-dir", required=True)
@@ -35,6 +57,13 @@ def main(argv=None):
     ap.add_argument(
         "--map-png", default="",
         help="write a global occupancy map PNG after the run",
+    )
+    ap.add_argument(
+        "--map-every", type=int, default=0,
+        help="also dump a map PNG every N frames during the run "
+        "(<name>-map-NNNNN.png next to --map-png, or in the dataset "
+        "dir): the periodic-visualization analog of the reference's "
+        "live rviz occupancy topics (visualizer.cpp:287-384)",
     )
     ap.add_argument("--checkpoint", default="", help="save state here")
     ap.add_argument("--resume", default="", help="load state first")
@@ -115,13 +144,30 @@ def main(argv=None):
         if args.max_frames:
             frames = frames[: args.max_frames]
         n = len(frames)
-        system.run_realtime(frames, rate=args.rate)
+        if args.map_every:
+            # periodic dumps interleave with the paced frontend; take
+            # the system lock so the free-running backend thread can't
+            # move the graph mid-render
+            def paced(frames=frames):
+                for k, fr in enumerate(frames):
+                    yield fr
+                    if (k + 1) % args.map_every == 0:
+                        with system.lock:
+                            _dump_periodic_map(
+                                system, slam_cfg, args, prefix, k + 1
+                            )
+
+            system.run_realtime(paced(), rate=args.rate)
+        else:
+            system.run_realtime(frames, rate=args.rate)
     else:
         for frame in provider.frames():
             system.process_frame(frame)
             n += 1
             if args.max_frames and n >= args.max_frames:
                 break
+            if args.map_every and n % args.map_every == 0:
+                _dump_periodic_map(system, slam_cfg, args, prefix, n)
             if n % 500 == 0:
                 print(
                     f"frame {n} kf={len(system.frontend.keyframes)} "
@@ -153,6 +199,23 @@ def main(argv=None):
             f"{system.backend.closure_count} closures "
             f"({system.backend.false_closure_count} pruned)"
         )
+    # compile vs steady-state timing (reference discipline has no
+    # compile phase; raw maxima conflate the two -- calc_time.py:13-23)
+    from .models.slam import steady_stats
+    from .utils import compilewatch
+
+    fm, fx, fn_ = steady_stats(
+        system.frontend_times, system.frontend_compiled
+    )
+    bm, bx, bn_ = steady_stats(
+        system.backend_times, system.backend_compiled
+    )
+    print(
+        f"steady-state: frontend mean {fm * 1e3:.1f} ms / max "
+        f"{fx * 1e3:.1f} ms (n={fn_}), backend mean {bm * 1e3:.1f} ms "
+        f"/ max {bx * 1e3:.1f} ms (n={bn_}); compile total "
+        f"{compilewatch.total() - system.compile_s_at_start:.1f} s"
+    )
 
     if args.map_png:
         from .eval.maps import render_map, save_map_png
