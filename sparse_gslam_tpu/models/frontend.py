@@ -91,6 +91,22 @@ def _get_lm_solver_packed(P: int, L: int, E: int):
     return _packed_lm_cache[key]
 
 
+def _lm_exec_device(config):
+    """Device for the per-keyframe LM solve: host CPU when the main
+    backend is an accelerator (config.frontend_on_host), else None
+    (= default device). The solve is latency-bound at these shapes."""
+    import jax
+
+    if not getattr(config, "frontend_on_host", True):
+        return None
+    if jax.default_backend() == "cpu":
+        return None
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def _bucket(n: int, minimum: int = 16) -> int:
     b = minimum
     while b < n:
@@ -403,9 +419,21 @@ class Frontend:
         bbuf = np.concatenate(
             [pose_valid, pose_fixed, odom_valid, lm_valid, obs_valid]
         )
-        new_poses_d, new_lms_d, chi2, dof = _get_lm_solver_packed(
-            P, L, E
-        )(jnp.asarray(fbuf), jnp.asarray(ibuf), jnp.asarray(bbuf))
+        import jax
+
+        dev = _lm_exec_device(self.config)
+        sol = _get_lm_solver_packed(P, L, E)
+        if dev is not None:
+            # numpy inputs are uncommitted: under default_device the
+            # whole solve compiles + runs on the host CPU device
+            with jax.default_device(dev):
+                new_poses_d, new_lms_d, chi2, dof = sol(
+                    fbuf, ibuf, bbuf
+                )
+        else:
+            new_poses_d, new_lms_d, chi2, dof = sol(
+                jnp.asarray(fbuf), jnp.asarray(ibuf), jnp.asarray(bbuf)
+            )
         new_poses = np.asarray(new_poses_d)
         new_lms = np.asarray(new_lms_d)
         for i in range(n_poses):

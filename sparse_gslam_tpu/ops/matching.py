@@ -439,6 +439,7 @@ def best_candidate_with_cov(
     m = jnp.max(scores)
     d = jnp.arange(W) - n_linear
     r2 = (d[:, None] ** 2 + d[None, :] ** 2).astype(scores.dtype)
+    # score-agnostic within the band: see _argmax_center_tiebreak
     flat_idx = jnp.argmax(
         jnp.where(
             scores >= m - SCORE_NOISE_BAND, -r2[None], -jnp.inf
@@ -785,6 +786,15 @@ def _argmax_center_tiebreak(scores, n_linear, tol=None):
     W = scores.shape[1]
     d = _np.arange(W) - n_linear
     r2 = d[:, None] ** 2 + d[None, :] ** 2
+    # NOTE: among equal-r2 in-band cells the winner is the first in
+    # flat-array order -- deliberately score-agnostic (within the band
+    # the score differences ARE the sampling noise; preferring the
+    # higher one re-introduces the ridge-alias bias this tie-break
+    # exists to kill; measured: sim-office ATE 0.080 -> 0.163 with a
+    # score-secondary key). Different plane orderings (sequential vs
+    # fused top-K) may therefore pick different equal-radius cells;
+    # the equivalence contract is same candidate + same radius + score
+    # within the band, not bit equality.
     masked = _np.where(scores >= m - tol, -r2[None], -_np.inf)
     return _np.unravel_index(_np.argmax(masked), scores.shape)
 
@@ -1419,6 +1429,7 @@ def fused_match(
     m = jnp.max(corr)
     d = jnp.arange(W) - n_linear
     r2 = (d[:, None] ** 2 + d[None, :] ** 2).astype(jnp.float32)
+    # score-agnostic within the band: see _argmax_center_tiebreak
     flat_idx = jnp.argmax(
         jnp.where(
             corr >= m - SCORE_NOISE_BAND, -r2[None], -jnp.inf

@@ -130,6 +130,14 @@ class SlamConfig:
     # loop closer). Replaces the reference's single g2o GN solve at
     # submap_loop_closer.cpp:286-288.
     pg_solver: str = "auto"
+    # Run the per-keyframe landmark-LM solve on the host CPU device
+    # when the main backend is an accelerator. The solve is a tiny
+    # fixed-shape kernel (P<=128 poses) that is pure dispatch latency
+    # on a TPU -- and through a remote-TPU tunnel every call pays
+    # milliseconds of round-trip on top. The heavy work (matcher,
+    # pose-graph solver) stays on the accelerator. No effect when the
+    # whole run is already on CPU.
+    frontend_on_host: bool = True
     # Loop-closure covariance model (models/backend.py _closure_cov):
     # "hybrid" (default) = high-res-GN Censi covariance + the
     # above-floor excess of the correlative window covariance (ridge

@@ -124,9 +124,22 @@ def build_tasks(config, ladder: int = 4):
                 a["lm_valid"], a["obs_valid"],
             ]
         )
-        _get_lm_solver_packed(P, L, E)(
-            jnp.asarray(fbuf), jnp.asarray(ibuf), jnp.asarray(bbuf)
-        )
+        from ..models.frontend import _lm_exec_device
+
+        dev = _lm_exec_device(config)
+        if dev is not None:
+            # product path runs the LM solve on host CPU
+            # (frontend_on_host): warm the CPU executable, not a TPU
+            # one that would never be used -- TPU compile-queue time
+            # is the scarce resource here
+            import jax
+
+            with jax.default_device(dev):
+                _get_lm_solver_packed(P, L, E)(fbuf, ibuf, bbuf)
+        else:
+            _get_lm_solver_packed(P, L, E)(
+                jnp.asarray(fbuf), jnp.asarray(ibuf), jnp.asarray(bbuf)
+            )
 
     # frontend LM bucket ladder from the configured minima upward (the
     # configured minimum is what the whole run uses until the window
