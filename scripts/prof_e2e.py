@@ -85,6 +85,12 @@ def main():
         )
         topb = np.sort(bt)[-8:][::-1] * 1e3
         print(f"    top ticks ms: {np.round(topb, 1).tolist()}")
+    if system.backend is not None and system.backend.prof:
+        print("  backend phase totals (incl. final_cleanup):")
+        for k, v in sorted(
+            system.backend.prof.items(), key=lambda kv: -kv[1]
+        ):
+            print(f"    {k:<16} {v:8.2f} s")
     print(f"  other (host+mc)     {other:8.2f} s")
     print(f"final_cleanup         {t_final:8.2f} s")
     print(

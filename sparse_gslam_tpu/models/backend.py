@@ -133,6 +133,11 @@ class SubmapLoopCloser:
         hsize = int(math.ceil(extent / 0.05 / 64.0) * 64)
         self.high_spec = GridSpec(size=hsize, resolution=0.05)
         self.match_calls = 0
+        # intra-tick wall-time accounting (seconds per phase; read by
+        # scripts/prof_e2e.py -- negligible overhead, always on)
+        import collections as _collections
+
+        self.prof = _collections.defaultdict(float)
         # local-refinement accept/reject counters (diagnostics)
         self.local_stats = {
             "dist": 0, "no_submap": 0, "corr": 0, "score": 0,
@@ -196,11 +201,15 @@ class SubmapLoopCloser:
     def precompute(self):
         """Finalize a submap when enough trajectory accumulated
         (submap_loop_closer.cpp:63-98)."""
+        import time as _time
+
         kfs = self.frontend.keyframes
         if not kfs:
             return
         if self.config.kf_refine:
+            _t = _time.perf_counter()
             self._keyframe_edges()
+            self.prof["kf_edges"] += _time.perf_counter() - _t
         est = self.frontend.estimates()
         traj_len = 0.0
         mid = -1
@@ -216,6 +225,7 @@ class SubmapLoopCloser:
             i += 1
         if traj_len <= self.config.submap_trajectory_length:
             return
+        _t = _time.perf_counter()
         rd = construct_multicloud(
             [k.data for k in kfs], est, self.last_pose_idx, mid, i + 1
         )
@@ -230,6 +240,7 @@ class SubmapLoopCloser:
         pyr = precompute_pyramid(
             sm_grid.probs, depth, smooth=cfg.smoothing_kernel
         )
+        self.prof["grid_build"] += _time.perf_counter() - _t
         self.submaps.append(
             Submap(
                 anchor_idx=mid,
@@ -246,7 +257,9 @@ class SubmapLoopCloser:
         )
         self.last_pose_idx = max(0, mid - cfg.submap_overlap_poses)
         if cfg.local_refine:
+            _t = _time.perf_counter()
             self._chain_edges()
+            self.prof["chain_edges"] += _time.perf_counter() - _t
 
     # --------------------------------------------------------------------
     def _gt_edge_hook(self, kind: str, i: int, j: int, meas):
@@ -308,17 +321,24 @@ class SubmapLoopCloser:
         runs unlocked, and the apply phase re-locks.
         """
         import contextlib
+        import time as _time
 
         guard = lock if lock is not None else contextlib.nullcontext()
+        _t = _time.perf_counter()
         with guard:
             snap = self._match_snapshot()
+        self.prof["match_snapshot"] += _time.perf_counter() - _t
         result = None
         if snap is not None:
+            _t = _time.perf_counter()
             result = self._match_search(snap)  # expensive; runs unlocked
+            self.prof["match_search"] += _time.perf_counter() - _t
         if result is None:
             return False
+        _t = _time.perf_counter()
         with guard:
             self._match_apply(snap, result)
+        self.prof["match_apply"] += _time.perf_counter() - _t
         return True
 
     def _match_snapshot(self):
