@@ -88,6 +88,8 @@ class Submap:
     # their small windows with direct numpy gathers on the host; one
     # D2H transfer per submap, amortized over its pins)
     score_grid_np: object = None
+    # same for pooled_grid (pin pre-gate bound lookups)
+    pooled_np: object = None
 
 
 @dataclasses.dataclass
@@ -146,7 +148,7 @@ class SubmapLoopCloser:
         # per-keyframe refinement counters (diagnostics)
         self.kf_stats = {
             "no_submap": 0, "corr": 0, "score": 0, "few_points": 0,
-            "accepted": 0,
+            "bound": 0, "accepted": 0,
         }
         self._kf_edge_done = 1  # next keyframe to consider for kf edges
         # optional jax.sharding.Mesh with a "blocks" axis: when set,
@@ -476,6 +478,9 @@ class SubmapLoopCloser:
                 float(self.loop_closure_min_score),
             )
         else:
+            import time as _time
+
+            _t = _time.perf_counter()
             ci, score, pose, cov = match_fn(
                 [c[0].score_grid for c in candidates],
                 [c[0].pooled_grid for c in candidates],
@@ -486,6 +491,7 @@ class SubmapLoopCloser:
                 float(self.loop_closure_min_score),
                 stride,
             )
+            self.prof["match_correlate"] += _time.perf_counter() - _t
         self.match_calls += len(candidates)
         if os.environ.get("SLAM_LOG_MATCHES"):
             # match-score progress lines like the reference's stdout
@@ -551,11 +557,15 @@ class SubmapLoopCloser:
         ptsb = np.zeros((Nb, 2), np.float32)
         ptsb[: len(query)] = query
         valid = np.arange(Nb) < len(query)
+        import time as _time
+
+        _t = _time.perf_counter()
         refined, censi_cov, _ = matching.refine_pose_cov(
             sm.high_res, sm.high_origin, 0.05, jnp.asarray(ptsb),
             jnp.asarray(valid), jnp.asarray(pose, dtype=jnp.float32),
         )
         refined = np.asarray(refined).astype(np.float64)
+        self.prof["match_refine"] += _time.perf_counter() - _t
         cov = self._closure_cov(np.asarray(censi_cov, np.float64), cov)
 
         # diagnostic oracle gate (eval harness only): with
@@ -650,9 +660,15 @@ class SubmapLoopCloser:
             sm.score_grid_np = np.asarray(sm.score_grid, np.float64)
         return sm.score_grid_np
 
+    def _pooled_grid_host(self, sm: Submap):
+        if sm.pooled_np is None:
+            sm.pooled_np = np.asarray(sm.pooled_grid, np.float64)
+        return sm.pooled_np
+
     def _pin_match_grid(self, score_np, refine_grid, grid_origin, res,
                         query, seed, refine_origin=None, refine_res=None,
-                        min_overlap=0.0, floor_xy=None, floor_th=None):
+                        min_overlap=0.0, floor_xy=None, floor_th=None,
+                        pooled_np=None):
         """Small-window exhaustive correlative match of a short query
         against one grid, centered on the pose-estimate seed -- the
         per-keyframe pin measurement (round-3 redesign).
@@ -679,6 +695,17 @@ class SubmapLoopCloser:
         origin = np.asarray(grid_origin, np.float64) - seed[:2]
         ks = np.arange(-spec.n_angular, spec.n_angular + 1)
         thetas = seed[2] + ks * spec.angular_step
+        stride = 1 << (max(1, cfg.branch_and_bound_depth) - 1)
+        if pooled_np is not None and stride >= 2 * spec.n_linear:
+            # exact B&B-root bound from the pooled pyramid level: one
+            # lookup per (rotation, point) instead of the full window
+            # correlation; valid because the pooled forward-max window
+            # (stride+1) covers the whole +-n_linear search window
+            bound = matching.pin_bound_host(
+                pooled_np, origin, res, query, thetas, spec.n_linear
+            )
+            if bound < cfg.kf_min_score:
+                return None, None, None, "bound"
         scores = matching.correlate_window_host(
             score_np, origin, res, query, thetas, spec.n_linear
         )
@@ -905,6 +932,7 @@ class SubmapLoopCloser:
                 float(sm.resolution), query, seed,
                 refine_origin=sm.high_origin, refine_res=0.05,
                 min_overlap=cfg.kf_min_overlap,
+                pooled_np=self._pooled_grid_host(sm),
             )
             if refined is None:
                 stats[why] += 1

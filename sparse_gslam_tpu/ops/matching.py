@@ -1151,6 +1151,38 @@ def match_candidates_pruned_batched(
 # ---------------------------------------------------------------------------
 
 
+def pin_bound_host(
+    pooled_np,  # (S, S) numpy level-(depth-1) forward-max pooled grid
+    origin,  # (2,)
+    resolution: float,
+    points,  # (N, 2) numpy
+    thetas,  # (R,) numpy
+    n_linear: int,
+):
+    """Exact upper bound on the best correlate_window_host score over
+    the +-n_linear offset window, ONE pooled lookup per (rotation,
+    point) -- the branch-and-bound root bound applied to the per-
+    keyframe pin search. pooled_np holds the forward-looking max over
+    a (stride+1)-wide window (grid.precompute_pyramid), so
+    pooled[c - n_linear] dominates grid[c + o] for every o in
+    [-n_linear, n_linear] whenever stride >= 2*n_linear (caller must
+    check). Lookups are clipped into the grid and floored at PMIN;
+    both only ever RAISE the bound, so pruning stays exact. ~97% of
+    keyframes never re-observe the target submap (their points land on
+    unknown cells, bound ~ PMIN << kf_min_score), so this skips the
+    full window correlation for nearly all of them."""
+    S = pooled_np.shape[0]
+    c, s = np.cos(thetas), np.sin(thetas)
+    px = c[:, None] * points[None, :, 0] - s[:, None] * points[None, :, 1]
+    py = s[:, None] * points[None, :, 0] + c[:, None] * points[None, :, 1]
+    cx = np.floor((px - origin[0]) / resolution).astype(np.int64) - n_linear
+    cy = np.floor((py - origin[1]) / resolution).astype(np.int64) - n_linear
+    vals = np.maximum(
+        pooled_np[np.clip(cx, 0, S - 1), np.clip(cy, 0, S - 1)], PMIN
+    )
+    return float(vals.mean(axis=1).max())
+
+
 def correlate_window_host(
     score_grid,  # (S, S) numpy level-0 (dilated) score grid
     origin,  # (2,)
