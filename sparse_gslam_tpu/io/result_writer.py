@@ -61,23 +61,31 @@ def write_trajectory(path, keyframe_estimates, keyframe_odom,
 
 
 class TimingWriter:
-    """Streams .ftime/.btime/.dtime files (log_runner.cpp:99-107)."""
+    """Streams .ftime/.btime/.dtime files (log_runner.cpp:99-107), plus
+    .fflag/.bflag sidecars marking ticks that contained an XLA compile
+    (one 0/1 line per .ftime/.btime line). The reference has no compile
+    phase; the sidecars let eval/timing.py report steady-state mean/max
+    separately from compile totals (calc_time.py:13-23 discipline)."""
 
     def __init__(self, prefix: str):
         self.f = open(prefix + ".ftime", "w")
         self.b = open(prefix + ".btime", "w")
         self.d = open(prefix + ".dtime", "w")
+        self.ff = open(prefix + ".fflag", "w")
+        self.bf = open(prefix + ".bflag", "w")
 
-    def frontend(self, seconds: float):
+    def frontend(self, seconds: float, compiled: bool = False):
         self.f.write(f"{seconds:.9f}\n")
+        self.ff.write(f"{int(compiled)}\n")
 
-    def backend(self, seconds: float):
+    def backend(self, seconds: float, compiled: bool = False):
         self.b.write(f"{seconds:.9f}\n")
+        self.bf.write(f"{int(compiled)}\n")
 
     def dataset(self, time: float):
         self.d.write(f"{time:.6f}\n")
 
     def close(self):
-        for fh in (self.f, self.b, self.d):
+        for fh in (self.f, self.b, self.d, self.ff, self.bf):
             fh.flush()
             fh.close()

@@ -698,11 +698,12 @@ class SubmapLoopCloser:
         stride = 1 << (max(1, cfg.branch_and_bound_depth) - 1)
         if pooled_np is not None and stride >= 2 * spec.n_linear:
             # exact B&B-root bound from the pooled pyramid level: one
-            # lookup per (rotation, point) instead of the full window
-            # correlation; valid because the pooled forward-max window
-            # (stride+1) covers the whole +-n_linear search window
+            # (or 2x2 at stride == 2*n_linear; see pin_bound_host's
+            # coverage analysis) lookup per (rotation, point) instead
+            # of the full window correlation
             bound = matching.pin_bound_host(
-                pooled_np, origin, res, query, thetas, spec.n_linear
+                pooled_np, origin, res, query, thetas, spec.n_linear,
+                stride=stride,
             )
             if bound < cfg.kf_min_score:
                 return None, None, None, "bound"
@@ -1135,6 +1136,7 @@ class SubmapLoopCloser:
                 sm.high_res = hi_grid.probs
                 sm.high_origin = hi_grid.origin
                 sm.score_grid_np = None
+                sm.pooled_np = None
             by_anchor = {sm.anchor_idx: sm for sm in self.submaps}
             n = len(self.pg_poses)
             for c in self.closures:

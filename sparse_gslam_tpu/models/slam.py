@@ -109,7 +109,7 @@ class SlamSystem:
             self.frontend_times.append(ft)
             self.frontend_compiled.append(compilewatch.total() > c0)
             if self.timing:
-                self.timing.frontend(ft)
+                self.timing.frontend(ft, self.frontend_compiled[-1])
 
             if self.backend and self.frame_idx % cfg.match_interval == 0:
                 c0 = compilewatch.total()
@@ -120,7 +120,7 @@ class SlamSystem:
                 self.backend_times.append(bt)
                 self.backend_compiled.append(compilewatch.total() > c0)
                 if self.timing:
-                    self.timing.backend(bt)
+                    self.timing.backend(bt, self.backend_compiled[-1])
         if self.timing:
             self.timing.dataset(frame.time)
         self.frame_idx += 1

@@ -24,8 +24,8 @@ Re-implements the reference's default extractor algorithm
 
 The interior split recursion is tiny (<= multicloud_size ~ 176 points)
 and data-dependent, so it runs on host in numpy; the numeric core
-(fit_line_with_cov) is array-polymorphic and is reused by the batched
-JAX path (ops.lines_batched) for offline multi-frame extraction.
+(fit_line_with_cov) is array-polymorphic (numpy or jax.numpy inputs
+both work), so a batched offline path can vmap it if ever needed.
 """
 from __future__ import annotations
 

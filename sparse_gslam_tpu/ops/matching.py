@@ -1158,28 +1158,46 @@ def pin_bound_host(
     points,  # (N, 2) numpy
     thetas,  # (R,) numpy
     n_linear: int,
+    stride: int = None,
 ):
     """Exact upper bound on the best correlate_window_host score over
-    the +-n_linear offset window, ONE pooled lookup per (rotation,
-    point) -- the branch-and-bound root bound applied to the per-
-    keyframe pin search. pooled_np holds the forward-looking max over
-    a (stride+1)-wide window (grid.precompute_pyramid), so
-    pooled[c - n_linear] dominates grid[c + o] for every o in
-    [-n_linear, n_linear] whenever stride >= 2*n_linear (caller must
-    check). Lookups are clipped into the grid and floored at PMIN;
-    both only ever RAISE the bound, so pruning stays exact. ~97% of
-    keyframes never re-observe the target submap (their points land on
-    unknown cells, bound ~ PMIN << kf_min_score), so this skips the
-    full window correlation for nearly all of them."""
+    the +-n_linear offset window, one (or, see below, 2x2) pooled
+    lookup per (rotation, point) -- the branch-and-bound root bound
+    applied to the per-keyframe pin search. pooled_np holds the
+    forward-looking max over a (stride+1)-wide window
+    (grid.precompute_pyramid). correlate_window_host reads the level-0
+    score grid, itself a 2-wide forward max of score0, so the
+    +-n_linear window touches score0 cells in
+    [c - n_linear, c + n_linear + 1] -- a (2*n_linear + 2)-cell span
+    per axis. A single lookup at c - n_linear covers stride+1 cells,
+    enough only when stride >= 2*n_linear + 1; at stride == 2*n_linear
+    (the DEFAULT config: depth 5 -> stride 16, n_linear 8) the span
+    overhangs by one cell and the bound could fall BELOW the true
+    window score, silently pruning valid pins. When `stride` is given
+    and < 2*n_linear + 1, the lookup becomes an elementwise max over
+    the 2x2 {c, c+1} offsets, extending coverage to stride+2 cells --
+    exact for stride >= 2*n_linear (caller must still check that).
+    Lookups are clipped into the grid and floored at PMIN; both only
+    ever RAISE the bound, so pruning stays exact. ~97% of keyframes
+    never re-observe the target submap (their points land on unknown
+    cells, bound ~ PMIN << kf_min_score), so this skips the full
+    window correlation for nearly all of them."""
     S = pooled_np.shape[0]
     c, s = np.cos(thetas), np.sin(thetas)
     px = c[:, None] * points[None, :, 0] - s[:, None] * points[None, :, 1]
     py = s[:, None] * points[None, :, 0] + c[:, None] * points[None, :, 1]
     cx = np.floor((px - origin[0]) / resolution).astype(np.int64) - n_linear
     cy = np.floor((py - origin[1]) / resolution).astype(np.int64) - n_linear
-    vals = np.maximum(
-        pooled_np[np.clip(cx, 0, S - 1), np.clip(cy, 0, S - 1)], PMIN
-    )
+    cx = np.clip(cx, 0, S - 1)
+    cy = np.clip(cy, 0, S - 1)
+    vals = pooled_np[cx, cy]
+    if stride is not None and stride < 2 * n_linear + 1:
+        cx1 = np.minimum(cx + 1, S - 1)
+        cy1 = np.minimum(cy + 1, S - 1)
+        vals = np.maximum(vals, pooled_np[cx1, cy])
+        vals = np.maximum(vals, pooled_np[cx, cy1])
+        vals = np.maximum(vals, pooled_np[cx1, cy1])
+    vals = np.maximum(vals, PMIN)
     return float(vals.mean(axis=1).max())
 
 

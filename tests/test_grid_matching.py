@@ -641,3 +641,65 @@ class TestIncrementalInsert:
         # same observed cells, probabilities equal (identical odds
         # updates in both paths, scan order preserved)
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class TestPinBoundCoverage:
+    """Regression for the ADVICE r3 off-by-one: at stride == 2*n_linear
+    (the DEFAULT config, depth 5 / n_linear 8), a single pooled lookup
+    misses the level-0 dilation's +1 overhang, so the 'exact' bound
+    could fall below the true window score and valid pins were pruned."""
+
+    def _setup(self, hot_cell):
+        size = 64
+        probs = np.zeros((size, size), np.float32)
+        probs[hot_cell] = 0.9
+        depth = 5  # stride = 16
+        pyr = np.asarray(precompute_pyramid(jnp.asarray(probs), depth))
+        return pyr[0], pyr[depth - 1]
+
+    def test_bound_dominates_true_score_at_equal_stride(self):
+        n_linear = 8
+        stride = 16  # == 2 * n_linear: the overhang case
+        res = 0.1
+        origin = np.zeros(2)
+        # single query point at the grid center cell
+        pt = np.array([[3.205, 3.205]])  # cell (32, 32)
+        thetas = np.array([0.0])
+        for dx in range(-n_linear, n_linear + 2):
+            for dy in (-n_linear, 0, n_linear + 1):
+                hot = (32 + dx, 32 + dy)
+                score0, pooled = self._setup(hot)
+                true = matching.correlate_window_host(
+                    score0, origin, res, pt, thetas, n_linear
+                ).max()
+                bound = matching.pin_bound_host(
+                    pooled, origin, res, pt, thetas, n_linear,
+                    stride=stride,
+                )
+                assert bound >= true - 1e-6, (
+                    f"bound {bound} < true {true} at hot={hot}"
+                )
+
+    def test_single_lookup_would_miss_overhang(self):
+        # documents the bug the stride-aware path fixes: the hot cell at
+        # +n_linear+1 is reachable through the level-0 dilation but NOT
+        # by one pooled lookup at -n_linear
+        n_linear = 8
+        res = 0.1
+        origin = np.zeros(2)
+        pt = np.array([[3.205, 3.205]])  # cell (32, 32)
+        thetas = np.array([0.0])
+        hot = (32 + n_linear + 1, 32)
+        score0, pooled = self._setup(hot)
+        true = matching.correlate_window_host(
+            score0, origin, res, pt, thetas, n_linear
+        ).max()
+        assert true > 0.5  # the dilated window DOES see the hot cell
+        old_bound = matching.pin_bound_host(
+            pooled, origin, res, pt, thetas, n_linear
+        )  # no stride: the old single-lookup behavior
+        assert old_bound < true  # the bug
+        new_bound = matching.pin_bound_host(
+            pooled, origin, res, pt, thetas, n_linear, stride=16
+        )
+        assert new_bound >= true - 1e-6
