@@ -60,13 +60,35 @@ def main():
     res = evaluate_files(
         out, os.path.join(dataset_dir, f"{name}.relations")
     )
+    from sparse_gslam_tpu.eval.relations import evaluate_per_separation
+
+    persep = evaluate_per_separation(
+        out, os.path.join(dataset_dir, f"{name}.relations")
+    )
     b = system.backend
+    pr = None
+    gt_path = os.path.join(dataset_dir, f"{name}.gt")
+    if os.path.exists(gt_path) and b.closures:
+        from sparse_gslam_tpu.eval.closures import closure_pr, load_gt
+
+        gt_times, gt_poses = load_gt(gt_path)
+        kfs = system.frontend.keyframes
+        triples = [
+            (kfs[c.i].odom_times[0], kfs[c.j].odom_times[0], c.meas)
+            for c in b.closures
+            if c.active and not c.suppressed and c.kind == "loop"
+        ]
+        pr = closure_pr(
+            triples, gt_times, gt_poses,
+            match_radius=max(6.0, slam_cfg.max_match_distance + 2.0),
+        )
     print(
         json.dumps(
             {
                 "dataset": name,
                 "overrides": overrides,
                 "trans": round(res.trans_mean, 4),
+                "per_sep": {k: round(v[0], 4) for k, v in persep.items()},
                 "trans_std": round(res.trans_std, 4),
                 "rot_deg": round(float(__import__("numpy").degrees(res.rot_mean)), 3),
                 "closures": b.closure_count,
@@ -75,6 +97,7 @@ def main():
                 "local_stats": b.local_stats,
                 "kf_edges": b.kf_edge_count,
                 "kf_stats": b.kf_stats,
+                "pr": pr,
             }
         )
     )

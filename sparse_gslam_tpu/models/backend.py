@@ -628,11 +628,41 @@ class SubmapLoopCloser:
         # hybrid, 0.22 -> 0.082)
         w_t = np.linalg.eigvalsh(win_cov[:2, :2])
         if float(np.sqrt(w_t.max())) > cfg.closure_ridge_sigma:
+            if cfg.closure_ridge_mode == "inflate":
+                return self._ridge_inflate(win_cov)
             return win_cov
         return self._cov_hybrid(
             censi_cov, win_cov, 0.01,
             cfg.closure_sigma_xy, cfg.closure_sigma_th,
         )
+
+    def _ridge_inflate(self, win_cov: np.ndarray) -> np.ndarray:
+        """Honest along-ridge covariance for ambiguous (corridor)
+        closures: under a score surface flat along the ridge, the
+        along-ridge component of the match is ~uniformly distributed
+        over the search window (the detector reports SOME point on the
+        ridge; round-3 measurement: counted-false ridge closures carry
+        1.4-5.0 m of along-ridge ground-truth error against a
+        band-weighted window sigma of 0.58-1.3 -- the +-w_lin moment
+        window underestimates a ridge longer than itself). Inflate
+        every translational eigendirection that exceeds the ridge
+        threshold to at least the uniform-over-window variance L^2/3
+        (sigma ~2.9 m at L=5); cross-ridge and rotation keep their
+        measured (sharp) values, which is where a corridor closure's
+        real information lives."""
+        cfg = self.config
+        L = cfg.linear_search_window
+        ridge_var = L * L / 3.0
+        t = 0.5 * (win_cov[:2, :2] + win_cov[:2, :2].T)
+        w, V = np.linalg.eigh(t)
+        w2 = np.where(
+            np.sqrt(np.maximum(w, 0.0)) > cfg.closure_ridge_sigma,
+            np.maximum(w, ridge_var),
+            w,
+        )
+        out = win_cov.copy()
+        out[:2, :2] = V @ np.diag(w2) @ V.T
+        return out
 
     def _cov_hybrid(self, censi_cov, win_cov, angular_step,
                     floor_xy, floor_th):
@@ -776,17 +806,33 @@ class SubmapLoopCloser:
         kfs = self.frontend.keyframes
         est = self.frontend.estimates()
         n = len(kfs)
+        marg = {}
+        if (
+            self.config.chain_info_mode == "marginal"
+            and n > self.last_opt_pose_index
+        ):
+            marg = self.frontend.relative_chain_info(
+                self.last_opt_pose_index, n
+            )
         for idx in range(self.last_opt_pose_index, n):
             meas = se2.relative(est[idx - 1], est[idx])
             meas = self._gt_edge_hook("odom", idx - 1, idx, meas)
             self.pg_meas.append(meas)
-            self.pg_info.append(kfs[idx].odom_info.copy())
+            # landmark-posterior marginal info where available (see
+            # frontend.relative_chain_info), raw odometry otherwise
+            self.pg_info.append(
+                marg.get(idx, kfs[idx].odom_info).copy()
+            )
             self.pg_poses.append(se2.compose(self.pg_poses[-1], meas))
         if n > self.last_opt_pose_index:
             self.last_opt_pose_index = n
             self.frontend.window_start = max(
                 1, self.last_opt_pose_index - 1
             )
+            # retire the window's observation edges into the archive
+            # (they feed the final joint solve) before pruning the
+            # active landmark graph to one fixed pose
+            self.frontend.archived_obs.extend(self.frontend.obs_edges)
             self.frontend.obs_edges.clear()
             self.frontend.last_landmark_edge = 0
             self.frontend.need_reinit = True
@@ -1024,7 +1070,14 @@ class SubmapLoopCloser:
             # edge ~0.07 m RMS), so adding the edge would only inject
             # noise. Chain edges are the substitute constraint for
             # landmark-starved stretches -- long corridors, exactly
-            # where drift compounds.
+            # where drift compounds. NOTE a directional-diversity
+            # requirement (>=2 non-parallel landmark normals) was
+            # tried in round 4 and measured HARMFUL on sim-corridor
+            # (0.154 -> 0.266): the chain edges it admits there are
+            # grid re-measurements of the same lateral estimates the
+            # frontend already produced (the submap grid is built from
+            # those estimates), so they echo the current drift with a
+            # tight Censi covariance instead of adding evidence.
             obs = [
                 e
                 for e in self.frontend.obs_edges
@@ -1215,11 +1268,16 @@ class SubmapLoopCloser:
         DENSITY is the lever. All acceptance machinery (min_score,
         chi2 prune, pairwise consistency voting) applies unchanged.
         Affordable because the fused matcher makes a candidate-set
-        match ~65 ms on TPU. Acceptance uses the dataset's ORIGINAL
-        min_score, not the relaxed 0.5 the final tail re-match runs at:
-        a global sweep at 0.5 floods corridor worlds with
-        self-similarity aliases (measured on sim-killian: +39 closures,
-        ATE 0.188 -> 0.236). Returns the number of closures added."""
+        match ~65 ms on TPU. Acceptance threshold = the dataset's
+        min_score minus rematch_score_margin (floored at 0.5; sparse
+        queries put genuine revisits just under the live bar), and
+        every sweep acceptance must additionally be SHARP
+        (rematch_skip_ridge below): an unconditional sweep at 0.5
+        floods corridor worlds with self-similarity aliases (measured
+        on sim-killian round 3: +39 ridge closures whose along-axis gt
+        error was 1.4-5.0 m, ATE 0.198 -> 0.231; the sharpness gate
+        removes exactly those and restores 0.220). Returns the number
+        of closures added."""
         cfg = self.config
         kfs = self.frontend.keyframes
         if len(self.submaps) < 2 or not kfs:
@@ -1244,6 +1302,11 @@ class SubmapLoopCloser:
                 matching.match_candidates_fused, c_bucket=16
             )
         stride = 1 << (max(1, cfg.branch_and_bound_depth) - 1)
+        # sweep threshold: live floor minus the configured margin (the
+        # sweep's extra accept gates justify it -- see config)
+        min_sc = max(
+            0.5, cfg.loop_closure_min_score - cfg.rematch_score_margin
+        )
         made = 0
         import jax.numpy as _jnp
 
@@ -1306,7 +1369,7 @@ class SubmapLoopCloser:
                 [c[1] for c in cands],
                 query,
                 spec,
-                float(cfg.loop_closure_min_score),
+                float(min_sc),
                 stride,
             )
             if ci is None:
@@ -1324,6 +1387,18 @@ class SubmapLoopCloser:
                 _jnp.asarray(pose, dtype=_jnp.float32),
             )
             refined = np.asarray(refined).astype(np.float64)
+            if cfg.rematch_skip_ridge:
+                # sweep-only gate: keep only SHARP (junction/corner)
+                # anchors. A live-tail ridge closure is vetted by PCM
+                # against its revisit cohort; the global sweep has no
+                # cohort and corridor worlds hand it mutually-
+                # consistent aliases (round-3 regression: killian
+                # 0.198 -> 0.231 from sweep ridge closures whose
+                # along-axis gt error measured 1.4-5.0 m,
+                # scripts/edge_budget.py round 4).
+                w_t = np.linalg.eigvalsh(np.asarray(cov)[:2, :2])
+                if float(np.sqrt(w_t.max())) > cfg.closure_ridge_sigma:
+                    continue
             cov = self._closure_cov(
                 np.asarray(censi_cov, np.float64), cov
             )
@@ -1552,21 +1627,169 @@ class SubmapLoopCloser:
         return g._replace(poses=jnp.reshape(poses, g.poses.shape))
 
     # --------------------------------------------------------------------
-    def prune_false_closures(self):
-        """chi2 > 11.345 closure pruning (log_runner.cpp:182-190)."""
+    def joint_solve(self) -> bool:
+        """Final joint landmark+pose bundle adjustment
+        (solvers.optimize_joint_graph; no reference counterpart -- the
+        reference discards the landmark graph at every closure and
+        finishes pose-graph-only, log_runner.cpp:203-205).
+
+        Uses every original measurement: RAW odometry between
+        keyframes (kf.odom_meas/odom_info -- honest independent noise,
+        unlike the pose-graph chain edges whose landmark-informed
+        measurements carry raw-odometry info), ALL archived + active
+        line-landmark observation edges, and the vetted closure/chain/
+        pin edges with DCS. Landmarks are re-initialized from their
+        observations at the current pose estimates (the frontend's
+        landmark frame drifts from the map frame across prunes).
+        Warm-started from the pose-graph solution. Returns True if it
+        ran (and wrote back pg_poses + frontend estimates)."""
+        cfg = self.config
+        kfs = self.frontend.keyframes
+        n = len(self.pg_poses)
+        if n < 2 or n != len(kfs):
+            return False
+        edges = [
+            e
+            for e in (
+                self.frontend.archived_obs + self.frontend.obs_edges
+            )
+            if e.pose_idx < n
+        ]
+        if not edges:
+            return False
+        import jax.numpy as jnp
+
+        from ..ops.line_geometry import transform_line
+
+        lm_map = {}
+        for e in edges:
+            if e.lm_idx not in lm_map:
+                lm_map[e.lm_idx] = len(lm_map)
+        by_lm: dict[int, list] = {}
+        for e in edges:
+            by_lm.setdefault(e.lm_idx, []).append(e)
+
+        P = _bucket(n, cfg.bucket_min_pg)
+        L = _bucket(max(len(lm_map), 1), 64)
+        E = _bucket(max(len(edges), 1), 256)
+        closures = [
+            c
+            for c in self.closures
+            if c.active and not c.suppressed and c.i < n and c.j < n
+        ]
+        C = _bucket(max(len(closures), 1))
+
+        poses = np.zeros((P, 3))
+        pose_valid = np.zeros(P, bool)
+        pose_fixed = np.zeros(P, bool)
+        odom_meas = np.zeros((P, 3))
+        odom_info = np.tile(np.eye(3), (P, 1, 1))
+        odom_valid = np.zeros(P, bool)
+        poses[:n] = np.stack(self.pg_poses)
+        pose_valid[:n] = True
+        pose_fixed[0] = True
+        for i in range(1, n):
+            odom_meas[i] = kfs[i].odom_meas
+            odom_info[i] = kfs[i].odom_info
+            odom_valid[i] = True
+
+        # landmark init: world line from the median observation's
+        # measurement under the CURRENT pose estimate (the frontend's
+        # landmark estimates live in the drifted landmark frame)
+        lms = np.zeros((L, 2))
+        lm_valid = np.zeros(L, bool)
+        for lid, k in lm_map.items():
+            les = by_lm[lid]
+            e = les[len(les) // 2]
+            pose = poses[e.pose_idx]
+            lms[k] = np.asarray(
+                transform_line(e.meas, pose[:2], pose[2])
+            )
+            lm_valid[k] = True
+
+        obs_pose = np.zeros(E, np.int32)
+        obs_lm = np.zeros(E, np.int32)
+        obs_meas = np.zeros((E, 2))
+        obs_info = np.tile(np.eye(2), (E, 1, 1))
+        obs_valid = np.zeros(E, bool)
+        for k, e in enumerate(edges):
+            obs_pose[k] = e.pose_idx
+            obs_lm[k] = lm_map[e.lm_idx]
+            obs_meas[k] = e.meas
+            obs_info[k] = e.info
+            obs_valid[k] = True
+
+        clo_i = np.zeros(C, np.int32)
+        clo_j = np.zeros(C, np.int32)
+        clo_meas = np.zeros((C, 3))
+        clo_info = np.tile(np.eye(3), (C, 1, 1))
+        clo_valid = np.zeros(C, bool)
+        for k, c in enumerate(closures):
+            clo_i[k] = c.i
+            clo_j[k] = c.j
+            clo_meas[k] = c.meas
+            clo_info[k] = c.info
+            clo_valid[k] = True
+
+        if os.environ.get("SLAM_DUMP_JOINT"):
+            # offline-iteration hook (scripts/joint_lab.py): dump the
+            # solver inputs so solver variants can be measured without
+            # re-running the whole pipeline
+            np.savez_compressed(
+                os.environ["SLAM_DUMP_JOINT"],
+                poses=poses, pose_valid=pose_valid,
+                pose_fixed=pose_fixed, odom_meas=odom_meas,
+                odom_info=odom_info, odom_valid=odom_valid, lms=lms,
+                lm_valid=lm_valid, obs_pose=obs_pose, obs_lm=obs_lm,
+                obs_meas=obs_meas, obs_info=obs_info,
+                obs_valid=obs_valid, clo_i=clo_i, clo_j=clo_j,
+                clo_meas=clo_meas, clo_info=clo_info,
+                clo_valid=clo_valid, n=np.asarray([n]),
+            )
+        g = solvers.JointGraphData(
+            jnp.asarray(poses), jnp.asarray(pose_valid),
+            jnp.asarray(pose_fixed), jnp.asarray(odom_meas),
+            jnp.asarray(odom_info), jnp.asarray(odom_valid),
+            jnp.asarray(lms), jnp.asarray(lm_valid),
+            jnp.asarray(obs_pose), jnp.asarray(obs_lm),
+            jnp.asarray(obs_meas), jnp.asarray(obs_info),
+            jnp.asarray(obs_valid), jnp.asarray(clo_i),
+            jnp.asarray(clo_j), jnp.asarray(clo_meas),
+            jnp.asarray(clo_info), jnp.asarray(clo_valid),
+        )
+        g_opt, _ = solvers.optimize_joint_graph(
+            g, cfg.dcs_phi, cfg.final_joint_iterations
+        )
+        new_poses = np.asarray(g_opt.poses, np.float64)
+        for k in range(n):
+            self.pg_poses[k] = new_poses[k]
+        # keep the frontend's landmark estimates consistent with the
+        # solved map frame (maps/diagnostics; associations are over)
+        new_lms = np.asarray(g_opt.lms, np.float64)
+        for lid, k in lm_map.items():
+            self.frontend.landmarks[lid].rhotheta = new_lms[k]
+        return True
+
+    # --------------------------------------------------------------------
+    def prune_false_closures(self) -> int:
+        """chi2 > 11.345 closure pruning (log_runner.cpp:182-190).
+        Returns the number of edges deactivated by this call."""
         if not self.closures or len(self.pg_poses) < 2:
-            return
+            return 0
         self._gate_consistent_loops()
         g = self._build_pg_data()
         chi2 = np.asarray(solvers.closure_chi2(g))
         n = len(self.pg_poses)
+        pruned = 0
         for k, c in enumerate(self.closures):
             if c.suppressed:
                 continue  # not in the graph; chi2[k] is meaningless
             if c.active and c.i < n and c.j < n and chi2[k] > 11.345:
                 c.active = False
+                pruned += 1
                 # the reference's counter tracks rejected LOOP
                 # closures; local refinement edges are a new-engine
                 # edge kind and don't feed the false-closure stat
                 if c.kind == "loop":
                     self.false_closures += 1
+        return pruned

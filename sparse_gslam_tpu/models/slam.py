@@ -203,6 +203,14 @@ class SlamSystem:
                 iterations=self.config.final_opt_iterations,
                 gnc_scale=self.config.final_gnc_scale,
             )
+        if self.config.final_joint:
+            # joint landmark+pose bundle adjustment over all original
+            # measurements (backend.joint_solve); re-run the chi2
+            # prune against the joint solution and re-solve if any
+            # closure fell
+            if self.backend.joint_solve():
+                if self.backend.prune_false_closures():
+                    self.backend.joint_solve()
 
     # ------------------------------------------------------------------
     def write_result(self, path: str):

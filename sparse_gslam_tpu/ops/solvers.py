@@ -863,8 +863,21 @@ def _posegraph_dense_solve(g: PoseGraphData, Hd, H_off_chain, H_off_clo, b):
     H = H.at[g.clo_j, g.clo_i].add(jnp.swapaxes(H_off_clo, -1, -2) * clv)
 
     Hdense = H.transpose(0, 2, 1, 3).reshape(3 * N, 3 * N)
-    chol = jax.scipy.linalg.cho_factor(Hdense)
-    d = jax.scipy.linalg.cho_solve(chol, b.reshape(3 * N)).reshape(N, 3)
+    # Jacobi equilibration: odometry informations span ~2e-4..6e3 on
+    # real logs (long dead-reckoned stretches next to short precise
+    # hops), putting cond(H) near 1e8-1e9 -- enough for the raw f32
+    # Cholesky to hit a negative pivot and emit NaN (observed on
+    # sim-office at keyframe ~215 on TPU). Symmetric diagonal scaling
+    # is exact in infinite precision and bounds the equilibrated
+    # diagonal at 1, where a 1e-6 relative ridge keeps the
+    # factorization PD in f32.
+    dg = jnp.diagonal(Hdense)
+    s = jax.lax.rsqrt(jnp.maximum(dg, 1e-30))
+    Hs = Hdense * s[:, None] * s[None, :]
+    Hs = Hs + 1e-6 * jnp.eye(3 * N, dtype=dt)
+    chol = jax.scipy.linalg.cho_factor(Hs)
+    y = jax.scipy.linalg.cho_solve(chol, s * b.reshape(3 * N))
+    d = (s * y).reshape(N, 3)
     return d * free[:, None]
 
 
@@ -883,6 +896,218 @@ def gnc_phi_schedule(phi, iterations: int, init_scale: float,
     T_a = max(int(anneal_frac * iterations), 1)
     expo = jnp.clip(1.0 - t / T_a, 0.0, 1.0)
     return phi * jnp.power(init_scale, expo)
+
+
+# ---------------------------------------------------------------------------
+# joint landmark + pose-graph system (final global bundle adjustment)
+# ---------------------------------------------------------------------------
+
+
+class JointGraphData(NamedTuple):
+    """Fixed-shape arrays for the final joint solve: the landmark graph
+    (odometry chain + line-landmark observations, LMGraphData layout)
+    PLUS the pose-graph extra edges (loop closures / submap chain edges
+    / keyframe pins) as DCS-robustified SE2 edges.
+
+    No reference counterpart: the reference optimizes the landmark
+    graph incrementally (drone.cpp:146-156), throws its information
+    away at every loop closure (landmark-graph prune,
+    submap_loop_closer.cpp:256-270), and finishes with a pose-graph-only
+    solve (log_runner.cpp:203-205). The joint solve keeps every
+    original measurement: odometry edges carry RAW odometry
+    information (honest, independent), landmark evidence enters as its
+    own 2-dof edges instead of being baked into chain estimates, and
+    closures couple revisits. On landmark-rich worlds this cuts the
+    mid-range chain drift that the pose-graph architecture cannot see
+    (landmarks observed across 10-20 keyframes rigidly couple those
+    spans; measured on the sim worlds, RESULTS.md round 4)."""
+
+    poses: jnp.ndarray  # (P, 3)
+    pose_valid: jnp.ndarray  # (P,) bool
+    pose_fixed: jnp.ndarray  # (P,) bool
+    odom_meas: jnp.ndarray  # (P, 3)
+    odom_info: jnp.ndarray  # (P, 3, 3)
+    odom_valid: jnp.ndarray  # (P,) bool
+    lms: jnp.ndarray  # (L, 2)
+    lm_valid: jnp.ndarray  # (L,) bool
+    obs_pose: jnp.ndarray  # (E,) int32
+    obs_lm: jnp.ndarray  # (E,) int32
+    obs_meas: jnp.ndarray  # (E, 2)
+    obs_info: jnp.ndarray  # (E, 2, 2)
+    obs_valid: jnp.ndarray  # (E,) bool
+    clo_i: jnp.ndarray  # (C,) int32
+    clo_j: jnp.ndarray  # (C,) int32
+    clo_meas: jnp.ndarray  # (C, 3)
+    clo_info: jnp.ndarray  # (C, 3, 3)
+    clo_valid: jnp.ndarray  # (C,) bool
+
+
+def _joint_lm_view(g: JointGraphData) -> LMGraphData:
+    return LMGraphData(
+        g.poses, g.pose_valid, g.pose_fixed, g.odom_meas, g.odom_info,
+        g.odom_valid, g.lms, g.lm_valid, g.obs_pose, g.obs_lm,
+        g.obs_meas, g.obs_info, g.obs_valid,
+    )
+
+
+def joint_graph_chi2(g: JointGraphData, phi: float):
+    """Robust objective: odom + obs chi2 plus DCS-scaled closure chi2."""
+    chi2, _ = lm_graph_chi2(_joint_lm_view(g))
+    ec = se2_edge_residual(g.poses[g.clo_i], g.poses[g.clo_j], g.clo_meas)
+    c_c = jnp.einsum("ni,nij,nj->n", ec, g.clo_info, ec)
+    c_c = dcs_weight(c_c, phi) * c_c
+    return chi2 + jnp.sum(jnp.where(g.clo_valid, c_c, 0.0))
+
+
+def _assemble_joint_system(g: JointGraphData, phi: float):
+    """Normal equations of the joint system: the landmark-graph terms
+    (dense pose block Hpp + landmark diag + coupling edges) plus the
+    DCS-weighted closure terms added into Hpp/bp."""
+    Hpp, bp, Hll, bl, Hpl_e = _assemble_lm_system(_joint_lm_view(g))
+    dt = g.poses.dtype
+    xi, xj = g.poses[g.clo_i], g.poses[g.clo_j]
+    e = se2_edge_residual(xi, xj, g.clo_meas)
+    Ji, Jj = se2_edge_jacobians(xi, xj, g.clo_meas)
+    chi2_e = jnp.einsum("ni,nij,nj->n", e, g.clo_info, e)
+    w = g.clo_valid.astype(dt) * dcs_weight(chi2_e, phi)
+    free_i = (~g.pose_fixed[g.clo_i]).astype(dt)
+    free_j = (~g.pose_fixed[g.clo_j]).astype(dt)
+    Ji = Ji * free_i[:, None, None]
+    Jj = Jj * free_j[:, None, None]
+    info_w = g.clo_info * w[:, None, None]
+    OJi = jnp.einsum("nab,nbc->nac", info_w, Ji)
+    OJj = jnp.einsum("nab,nbc->nac", info_w, Jj)
+    Hpp = Hpp.at[g.clo_i, g.clo_i].add(jnp.einsum("nba,nbc->nac", Ji, OJi))
+    Hpp = Hpp.at[g.clo_j, g.clo_j].add(jnp.einsum("nba,nbc->nac", Jj, OJj))
+    H_ij = jnp.einsum("nba,nbc->nac", Ji, OJj)
+    Hpp = Hpp.at[g.clo_i, g.clo_j].add(H_ij)
+    Hpp = Hpp.at[g.clo_j, g.clo_i].add(jnp.swapaxes(H_ij, -1, -2))
+    bp = bp.at[g.clo_i].add(-jnp.einsum("nba,nb->na", OJi, e))
+    bp = bp.at[g.clo_j].add(-jnp.einsum("nba,nb->na", OJj, e))
+    return Hpp, bp, Hll, bl, Hpl_e
+
+
+def _joint_schur_solve(g: JointGraphData, Hpp, bp, Hll, bl, Hpl_e, lam):
+    """Damped joint solve, Schur-eliminating landmarks. Unlike
+    _schur_solve's (P,L) pairwise einsum, the fill-in is formed as one
+    big matmul S = Hpp - U U^T with U = Hpl chol(Hll^-1) reshaped
+    (3P, 2L) -- the MXU-shaped formulation (a (3P, 2L) x (2L, 3P)
+    contraction) that also keeps the CPU float64 parity path at dgemm
+    speed for the final-cleanup problem sizes (P ~ 1-2k, L ~ 256)."""
+    P = Hpp.shape[0]
+    L = Hll.shape[0]
+    dt = Hpp.dtype
+    pose_free = (g.pose_valid & (~g.pose_fixed)).astype(dt)
+    lm_free = g.lm_valid.astype(dt)
+
+    eye3 = jnp.eye(3, dtype=dt)
+    eye2 = jnp.eye(2, dtype=dt)
+    diag_fix_p = (1.0 - pose_free)[:, None, None] * eye3
+    Hpp = Hpp.at[jnp.arange(P), jnp.arange(P)].add(
+        lam * eye3 * pose_free[:, None, None] + diag_fix_p
+    )
+    Hll = Hll + lam * eye2 * lm_free[:, None, None] + (
+        (1.0 - lm_free)[:, None, None] * eye2
+    )
+    bp = bp * pose_free[:, None]
+    bl = bl * lm_free[:, None]
+
+    Hll_inv = jnp.linalg.inv(Hll)
+    Hpl = jnp.zeros((P, L, 3, 2), dt)
+    Hpl = Hpl.at[g.obs_pose, g.obs_lm].add(Hpl_e)
+    R2 = _chol2(Hll_inv)  # (L,2,2): Hll_inv = R2 R2^T
+    U = jnp.einsum("plab,lbc->plac", Hpl, R2)
+    # (3P, 2L): row p*3+a, col l*2+c
+    U2 = U.transpose(0, 2, 1, 3).reshape(3 * P, 2 * L)
+    Sd = Hpp.transpose(0, 2, 1, 3).reshape(3 * P, 3 * P) - U2 @ U2.T
+    rhs = (
+        bp - jnp.einsum("plab,lbc,lc->pa", Hpl, Hll_inv, bl)
+    ).reshape(3 * P)
+    chol = jax.scipy.linalg.cho_factor(Sd)
+    dp = jax.scipy.linalg.cho_solve(chol, rhs).reshape(P, 3)
+    dl = jnp.einsum(
+        "lab,lb->la",
+        Hll_inv,
+        bl - jnp.einsum("plab,pa->lb", Hpl, dp),
+    )
+    dp = dp * pose_free[:, None]
+    dl = dl * lm_free[:, None]
+    return dp, dl
+
+
+@precise
+def optimize_joint_graph(
+    g: JointGraphData, phi: float, iterations: int = 12,
+    tau: float = 1e-6, rtol: float = 1e-9,
+):
+    """Levenberg-Marquardt on the joint landmark+pose system (see
+    JointGraphData). Same damping schedule as optimize_landmark_graph;
+    closures are DCS-reweighted at every relinearization. Warm-started
+    from the pose-graph solution, so few iterations suffice.
+
+    Returns (g_optimized, chi2)."""
+    chi2_0 = joint_graph_chi2(g, phi)
+    Hpp0, _, Hll0, _, _ = _assemble_joint_system(g, phi)
+    P = Hpp0.shape[0]
+    diag_max = jnp.maximum(
+        jnp.max(jnp.abs(jnp.diagonal(
+            Hpp0[jnp.arange(P), jnp.arange(P)], axis1=-2, axis2=-1
+        ))),
+        jnp.max(jnp.abs(jnp.diagonal(Hll0, axis1=-2, axis2=-1))),
+    )
+    lam0 = tau * diag_max
+
+    def step(g_cur, chi2_cur, lam, ni):
+        Hpp, bp, Hll, bl, Hpl_e = _assemble_joint_system(g_cur, phi)
+        dp, dl = _joint_schur_solve(g_cur, Hpp, bp, Hll, bl, Hpl_e, lam)
+        poses = g_cur.poses + dp
+        poses = poses.at[:, 2].set(wrap_angle(poses[:, 2]))
+        lms = g_cur.lms + dl
+        lms = lms.at[:, 1].set(wrap_angle(lms[:, 1]))
+        g_new = g_cur._replace(poses=poses, lms=lms)
+        chi2_new = joint_graph_chi2(g_new, phi)
+        lin = jnp.sum(dp * (lam * dp + bp)) + jnp.sum(dl * (lam * dl + bl))
+        rho = (chi2_cur - chi2_new) / jnp.maximum(lin, 1e-12)
+        accept = (rho > 0.0) & jnp.isfinite(chi2_new)
+        factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam_next = jnp.where(accept, lam * factor, lam * ni)
+        ni_next = jnp.where(accept, 2.0, ni * 2.0)
+        g_next = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                jnp.broadcast_to(
+                    accept.reshape((1,) * new.ndim), new.shape
+                ),
+                new,
+                old,
+            ),
+            g_new,
+            g_cur,
+        )
+        chi2_next = jnp.where(accept, chi2_new, chi2_cur)
+        rel_impr = jnp.where(
+            accept,
+            (chi2_cur - chi2_new) / jnp.maximum(chi2_cur, 1e-30),
+            jnp.inf,
+        )
+        return g_next, chi2_next, lam_next, ni_next, rel_impr
+
+    def wcond(carry):
+        _, _, _, _, it, done = carry
+        return (it < iterations) & jnp.logical_not(done)
+
+    def wbody(carry):
+        g_cur, chi2_cur, lam, ni, it, _ = carry
+        g_next, chi2_next, lam_next, ni_next, rel_impr = step(
+            g_cur, chi2_cur, lam, ni
+        )
+        done = (rel_impr < rtol) | (lam_next > 1e10)
+        return (g_next, chi2_next, lam_next, ni_next, it + 1, done)
+
+    g_out, chi2_out, _, _, _, _ = jax.lax.while_loop(
+        wcond, wbody,
+        (g, chi2_0, lam0, 2.0, jnp.int32(0), jnp.bool_(False)),
+    )
+    return g_out, chi2_out
 
 
 @precise

@@ -65,21 +65,28 @@ def save_checkpoint(path: str, system) -> None:
     ) if fe.landmarks else np.zeros((0, 2))
     arrays["lm_dist"] = np.asarray([l.dist for l in fe.landmarks])
 
-    e = fe.obs_edges
-    arrays["obs_pose"] = np.asarray([x.pose_idx for x in e], np.int64)
-    arrays["obs_lm"] = np.asarray([x.lm_idx for x in e], np.int64)
-    arrays["obs_meas"] = (
-        np.stack([x.meas for x in e]) if e else np.zeros((0, 2))
-    )
-    arrays["obs_info"] = (
-        np.stack([x.info for x in e]) if e else np.zeros((0, 2, 2))
-    )
-    arrays["obs_start"] = (
-        np.stack([x.start_bl for x in e]) if e else np.zeros((0, 2))
-    )
-    arrays["obs_end"] = (
-        np.stack([x.end_bl for x in e]) if e else np.zeros((0, 2))
-    )
+    for prefix, e in (
+        ("obs", fe.obs_edges),
+        ("aobs", fe.archived_obs),
+    ):
+        arrays[f"{prefix}_pose"] = np.asarray(
+            [x.pose_idx for x in e], np.int64
+        )
+        arrays[f"{prefix}_lm"] = np.asarray(
+            [x.lm_idx for x in e], np.int64
+        )
+        arrays[f"{prefix}_meas"] = (
+            np.stack([x.meas for x in e]) if e else np.zeros((0, 2))
+        )
+        arrays[f"{prefix}_info"] = (
+            np.stack([x.info for x in e]) if e else np.zeros((0, 2, 2))
+        )
+        arrays[f"{prefix}_start"] = (
+            np.stack([x.start_bl for x in e]) if e else np.zeros((0, 2))
+        )
+        arrays[f"{prefix}_end"] = (
+            np.stack([x.end_bl for x in e]) if e else np.zeros((0, 2))
+        )
     arrays["scalars"] = np.asarray(
         [
             fe.window_start, fe.traveled_dist, fe.last_landmark_edge,
@@ -103,9 +110,16 @@ def save_checkpoint(path: str, system) -> None:
         arrays["pg_info"] = (
             np.stack(be.pg_info) if be.pg_info else np.zeros((0, 3, 3))
         )
+        kind_code = {"loop": 0, "local": 1, "kf": 2}
         arrays["clo"] = np.asarray(
-            [[c.i, c.j, float(c.active)] for c in be.closures]
-        ).reshape(-1, 3)
+            [
+                [
+                    c.i, c.j, float(c.active),
+                    kind_code.get(c.kind, 0), float(c.suppressed),
+                ]
+                for c in be.closures
+            ]
+        ).reshape(-1, 5)
         arrays["clo_meas"] = (
             np.stack([c.meas for c in be.closures])
             if be.closures
@@ -166,17 +180,23 @@ def load_checkpoint(path: str, system) -> None:
         )
         for i in range(len(z["lm_rhotheta"]))
     ]
-    fe.obs_edges = [
-        ObsEdge(
-            pose_idx=int(z["obs_pose"][i]),
-            lm_idx=int(z["obs_lm"][i]),
-            meas=z["obs_meas"][i].copy(),
-            info=z["obs_info"][i].copy(),
-            start_bl=z["obs_start"][i].copy(),
-            end_bl=z["obs_end"][i].copy(),
-        )
-        for i in range(len(z["obs_pose"]))
-    ]
+    def _edges(prefix):
+        if f"{prefix}_pose" not in z:
+            return []
+        return [
+            ObsEdge(
+                pose_idx=int(z[f"{prefix}_pose"][i]),
+                lm_idx=int(z[f"{prefix}_lm"][i]),
+                meas=z[f"{prefix}_meas"][i].copy(),
+                info=z[f"{prefix}_info"][i].copy(),
+                start_bl=z[f"{prefix}_start"][i].copy(),
+                end_bl=z[f"{prefix}_end"][i].copy(),
+            )
+            for i in range(len(z[f"{prefix}_pose"]))
+        ]
+
+    fe.obs_edges = _edges("obs")
+    fe.archived_obs = _edges("aobs")
     sc = z["scalars"]
     fe.window_start = int(sc[0])
     fe.traveled_dist = float(sc[1])
@@ -196,12 +216,17 @@ def load_checkpoint(path: str, system) -> None:
         be.pg_info = [p.copy() for p in z["pg_info"]]
         from ..models.backend import Closure
 
+        kind_name = {0: "loop", 1: "local", 2: "kf"}
         be.closures = [
             Closure(
                 i=int(row[0]), j=int(row[1]),
                 meas=z["clo_meas"][k].copy(),
                 info=z["clo_info"][k].copy(),
                 active=bool(row[2]),
+                kind=kind_name.get(
+                    int(row[3]) if len(row) > 3 else 0, "loop"
+                ),
+                suppressed=bool(row[4]) if len(row) > 4 else False,
             )
             for k, row in enumerate(z["clo"])
         ]

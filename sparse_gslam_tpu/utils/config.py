@@ -138,6 +138,21 @@ class SlamConfig:
     # pose-graph solver) stays on the accelerator. No effect when the
     # whole run is already on CPU.
     frontend_on_host: bool = True
+    # Pose-graph chain-edge information (models/backend.py
+    # extend_chain): "odom" (default) = raw odometry covariance (the
+    # reference's behavior, submap_loop_closer.cpp:209-218);
+    # "marginal" = marginal covariance of the relative pose under the
+    # landmark-graph posterior (frontend.relative_chain_info). The
+    # marginal is the honest per-edge claim (raw odometry under-claims
+    # the landmark-refined chain 5-7x -- measured,
+    # scripts/edge_budget.py) but stiffening the chain was measured to
+    # HURT end ATE on every sim world (office 0.080 -> 0.115, corridor
+    # 0.154 -> 0.32): the stiff chain makes the 11.345 prune reject
+    # good closures and distributes ridge-closure errors worse. Kept
+    # as a capability; the round-4 accuracy path is the final joint
+    # landmark+pose solve, which uses raw odometry info correctly (the
+    # landmark evidence enters as its own edges).
+    chain_info_mode: str = "odom"
     # Loop-closure covariance model (models/backend.py _closure_cov):
     # "hybrid" (default) = high-res-GN Censi covariance + the
     # above-floor excess of the correlative window covariance (ridge
@@ -153,9 +168,31 @@ class SlamConfig:
     # the window floor itself reports ~0.25 m for a perfectly sharp
     # match, so anything clearly above it indicates a real ridge)
     closure_ridge_sigma: float = 0.32  # meters
+    # What to do with a ridge-ambiguous closure's covariance:
+    # "window" = keep the band-weighted window covariance (round-3
+    # behavior); "inflate" = raise every translational eigendirection
+    # above the ridge threshold to the uniform-over-search-window
+    # variance L^2/3 (backend._ridge_inflate) -- honest for along-
+    # corridor aliases (measured gt errors 1.4-5 m vs window sigma
+    # ~0.6) at the cost of discarding the partial along-ridge
+    # correction genuine ridge matches carry.
+    closure_ridge_mode: str = "window"
     # Global re-match sweep at final cleanup (backend.rematch_all):
     # match every submap pair within range, not just the live tail.
     final_rematch: bool = True
+    # Sweep closures must be SHARP (window-cov eigensigma below
+    # closure_ridge_sigma): the sweep has no PCM cohort to vet
+    # corridor aliases, which are mutually consistent by construction
+    # (see rematch_all).
+    rematch_skip_ridge: bool = True
+    # The sweep may accept below the live threshold by this margin
+    # (floored at 0.5): sparse 11-beam queries put genuine revisits at
+    # 0.62-0.69 against the live 0.7 bar (measured on sim-loops:
+    # 14 sub-threshold MISSes, one full revisit segment undetected --
+    # VERDICT r3 recall 0.50), and sweep acceptances are triple-gated
+    # (sharpness above, PCM voting, 11.345 chi2 prune) where the live
+    # path's single score test is not.
+    rematch_score_margin: float = 0.12
     # Iterative map refinement at final cleanup (backend.refine_map):
     # rebuild grids at the optimized poses, re-measure every closure,
     # re-solve. Kept as a capability but DEFAULT OFF: on the sim
@@ -166,6 +203,22 @@ class SlamConfig:
     final_refine_rounds: int = 0
     dist_solver_min_poses: int = 1024
     dist_block_size: int = 128
+    # Final joint landmark+pose bundle adjustment
+    # (backend.joint_solve / solvers.optimize_joint_graph): after the
+    # pose-graph-only final optimization, re-solve poses AND landmarks
+    # jointly over every original measurement (raw odometry, all
+    # archived line observations, DCS closures). No reference
+    # counterpart (the reference throws the landmark graph away at
+    # every closure). DEFAULT OFF after measurement
+    # (scripts/joint_lab.py, RESULTS.md round 4): multicloud
+    # observations of one landmark share ~15/16 of their scans, so
+    # treating them as independent double-counts heavily, and even
+    # span-thinned / long-range-only variants worsened sim-office ATE
+    # (0.080 -> 0.087-0.099) because line re-observations carry
+    # viewpoint-dependent bias. Kept as a tested capability for
+    # landmark-rich datasets with genuinely independent observations.
+    final_joint: bool = False
+    final_joint_iterations: int = 12
     # Submap chain edges (models/backend.py _chain_edges): when a new
     # submap finalizes, GN-refine its multicloud against the previous
     # `local_refine_hops` submaps' grids, seeded at the pose estimate

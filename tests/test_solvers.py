@@ -315,3 +315,129 @@ class TestRhoThetaJacobians:
         )(jnp.array(poses), jnp.array(lms), jnp.array(zs))
         np.testing.assert_allclose(Jp, jac[0], atol=1e-10)
         np.testing.assert_allclose(Jl, jac[1], atol=1e-10)
+
+
+class TestJointGraph:
+    """Final joint landmark+pose solve (solvers.optimize_joint_graph)."""
+
+    def _make(self, P=24, L=6, seed=7, drift=0.03):
+        from sparse_gslam_tpu.ops.line_geometry import transform_line
+
+        r = np.random.default_rng(seed)
+        # ground-truth square-ish loop
+        gt = np.zeros((P, 3))
+        for i in range(1, P):
+            step = np.array([0.5, 0.0, 0.0])
+            if i % (P // 4) == 0:
+                step[2] = np.pi / 2
+            gt[i] = se2.compose(gt[i - 1], step)
+        # lines strictly OUTSIDE the loop's extent: a pose crossing a
+        # line flips the rho>=0 normalization branch mid-solve (real
+        # data never associates an observation across such a flip)
+        lms_gt = np.stack(
+            [
+                np.array([6.0 + 0.7 * k, 0.3 + 0.9 * (k % 3)])
+                for k in range(L)
+            ]
+        )
+        odom_meas = np.zeros((P, 3))
+        odom_info = np.tile(np.eye(3) * 400.0, (P, 1, 1))
+        odom_valid = np.zeros(P, bool)
+        for i in range(1, P):
+            noise = r.normal(0, drift, 3) * np.array([1, 1, 0.5])
+            odom_meas[i] = se2.relative(gt[i - 1], gt[i]) + noise
+            odom_valid[i] = True
+        # dead-reckoned init
+        poses0 = np.zeros((P, 3))
+        for i in range(1, P):
+            poses0[i] = se2.compose(poses0[i - 1], odom_meas[i])
+        obs_pose, obs_lm, obs_meas = [], [], []
+        for i in range(P):
+            for k in range(L):
+                inv = se2.inverse(gt[i])
+                z = np.asarray(
+                    transform_line(lms_gt[k], inv[:2], inv[2])
+                ) + r.normal(0, 0.01, 2)
+                obs_pose.append(i)
+                obs_lm.append(k)
+                obs_meas.append(z)
+        E = len(obs_pose)
+        # one loop closure end->start
+        clo_i = np.array([0], np.int32)
+        clo_j = np.array([P - 1], np.int32)
+        clo_meas = se2.relative(gt[0], gt[P - 1])[None]
+        clo_info = np.tile(np.eye(3) * 1e4, (1, 1, 1))
+        g = solvers.JointGraphData(
+            jnp.asarray(poses0), jnp.ones(P, bool),
+            jnp.asarray(np.arange(P) == 0),
+            jnp.asarray(odom_meas), jnp.asarray(odom_info),
+            jnp.asarray(odom_valid),
+            jnp.asarray(lms_gt + r.normal(0, 0.05, lms_gt.shape)),
+            jnp.ones(L, bool),
+            jnp.asarray(obs_pose, jnp.int32), jnp.asarray(obs_lm, jnp.int32),
+            jnp.asarray(np.stack(obs_meas)),
+            jnp.asarray(np.tile(np.eye(2) * 1e4, (E, 1, 1))),
+            jnp.ones(E, bool),
+            jnp.asarray(clo_i), jnp.asarray(clo_j),
+            jnp.asarray(clo_meas), jnp.asarray(clo_info),
+            jnp.ones(1, bool),
+        )
+        return g, gt, lms_gt, poses0
+
+    def test_reduces_error_and_recovers_gt(self):
+        g, gt, lms_gt, poses0 = self._make()
+        g_opt, chi2 = solvers.optimize_joint_graph(g, 10.0, 30)
+        err0 = np.linalg.norm(poses0[:, :2] - gt[:, :2], axis=1).mean()
+        err1 = np.linalg.norm(
+            np.asarray(g_opt.poses)[:, :2] - gt[:, :2], axis=1
+        ).mean()
+        assert err1 < 0.35 * err0
+        # landmarks polished toward ground truth
+        lerr = np.abs(np.asarray(g_opt.lms) - lms_gt)
+        assert lerr[:, 0].max() < 0.05
+
+    def test_gradient_zero_at_optimum(self):
+        # at the LM fixpoint the assembled gradient (b) vanishes
+        g, *_ = self._make()
+        g_opt, _ = solvers.optimize_joint_graph(g, 10.0, 40)
+        _, bp, _, bl, _ = solvers._assemble_joint_system(g_opt, 10.0)
+        assert float(jnp.abs(bp).max()) < 1e-4
+        assert float(jnp.abs(bl).max()) < 1e-4
+
+    def test_fixed_pose_stationary(self):
+        g, *_ = self._make()
+        g_opt, _ = solvers.optimize_joint_graph(g, 10.0, 10)
+        np.testing.assert_allclose(
+            np.asarray(g_opt.poses)[0], np.asarray(g.poses)[0]
+        )
+
+    def test_masked_slots_untouched(self):
+        g, *_ = self._make()
+        # pad with invalid slots
+        import jax.tree_util as jtu
+
+        P = g.poses.shape[0]
+        g2 = g._replace(
+            poses=jnp.concatenate([g.poses, jnp.full((4, 3), 7.0)]),
+            pose_valid=jnp.concatenate(
+                [g.pose_valid, jnp.zeros(4, bool)]
+            ),
+            pose_fixed=jnp.concatenate(
+                [g.pose_fixed, jnp.zeros(4, bool)]
+            ),
+            odom_meas=jnp.concatenate([g.odom_meas, jnp.zeros((4, 3))]),
+            odom_info=jnp.concatenate(
+                [g.odom_info, jnp.tile(jnp.eye(3), (4, 1, 1))]
+            ),
+            odom_valid=jnp.concatenate(
+                [g.odom_valid, jnp.zeros(4, bool)]
+            ),
+        )
+        del jtu, P
+        g_opt, _ = solvers.optimize_joint_graph(g2, 10.0, 10)
+        out = np.asarray(g_opt.poses)[-4:]
+        # x, y untouched; theta only angle-wrapped (applied to all rows)
+        np.testing.assert_allclose(out[:, :2], 7.0)
+        np.testing.assert_allclose(
+            out[:, 2], np.asarray(se2.wrap_angle(7.0))
+        )
