@@ -196,6 +196,7 @@ def time_matcher(reps=3):
     assert got is not None and got[0] == n_cands - 1
 
     # speed-of-light accounting for the fused path (VERDICT r3 #5)
+    size = grids.shape[1]
     R_full = 2 * spec.n_angular + 1
     flops, hbm = fused_match_roofline(
         C=n_cands, R=R_full, N=256, size=size,

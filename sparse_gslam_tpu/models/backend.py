@@ -151,6 +151,9 @@ class SubmapLoopCloser:
             "bound": 0, "accepted": 0,
         }
         self._kf_edge_done = 1  # next keyframe to consider for kf edges
+        # device-stacked pooled grids for the batched pin screen
+        # (accelerator path of _keyframe_edges); None = rebuild
+        self._pin_stack = None
         # optional jax.sharding.Mesh with a "blocks" axis: when set,
         # every pose-graph solve runs the shard_map multi-chip solver
         # (parallel/dist_solver.optimize_pose_graph_sharded)
@@ -257,6 +260,10 @@ class SubmapLoopCloser:
                 end_idx=i + 1,
             )
         )
+        # on an accelerator backend the pin screen runs on device
+        # (_keyframe_edges); invalidate the stacked pooled-grid cache
+        # so it rebuilds with the new submap included
+        self._pin_stack = None
         self.last_pose_idx = max(0, mid - cfg.submap_overlap_poses)
         if cfg.local_refine:
             _t = _time.perf_counter()
@@ -740,6 +747,23 @@ class SubmapLoopCloser:
         scores = matching.correlate_window_host(
             score_np, origin, res, query, thetas, spec.n_linear
         )
+        if refine_origin is None:
+            refine_origin = grid_origin
+        if refine_res is None:
+            refine_res = res
+        return self._pin_accept(
+            scores, thetas, spec, seed, refine_grid, refine_origin,
+            refine_res, query, min_overlap, floor_xy, floor_th, res,
+        )
+
+    def _pin_accept(self, scores, thetas, spec, seed, refine_grid,
+                    refine_origin, refine_res, query, min_overlap,
+                    floor_xy, floor_th, res):
+        """Shared pin acceptance from a computed (R, W, W) score
+        volume: centered-tie-break argmax, score gate, band-weighted
+        volume covariance, high-res GN refinement, overlap + basin
+        gates, hybrid covariance (see _pin_match_grid)."""
+        cfg = self.config
         k, i, jx = matching._argmax_center_tiebreak(scores, spec.n_linear)
         sc = float(scores[k, i, jx])
         if sc < cfg.kf_min_score:
@@ -756,10 +780,6 @@ class SubmapLoopCloser:
         )
         import jax.numpy as jnp
 
-        if refine_origin is None:
-            refine_origin = grid_origin
-        if refine_res is None:
-            refine_res = res
         Nb = _bucket(len(query), 256)
         ptsb = np.zeros((Nb, 2), np.float32)
         ptsb[: len(query)] = query
@@ -942,17 +962,17 @@ class SubmapLoopCloser:
         kfs = self.frontend.keyframes
         self._ensure_pg_init()
         map_pose = self._map_transforms()
-        made = 0
         # a keyframe's scan store is complete once its successor exists
         last_complete = len(kfs) - 1
         est_arr = None
+        pending = []
         for j in range(self._kf_edge_done, last_complete):
-            sm = None
-            for s in reversed(self.submaps):
-                if s.end_idx <= j:
-                    sm = s
+            smi = None
+            for si in range(len(self.submaps) - 1, -1, -1):
+                if self.submaps[si].end_idx <= j:
+                    smi = si
                     break
-            if sm is None:
+            if smi is None:
                 stats["no_submap"] += 1
                 continue
             # query = short multicloud centered on j: a single 11-beam
@@ -973,7 +993,27 @@ class SubmapLoopCloser:
                 query = query[
                     np.linspace(0, len(query) - 1, 512).astype(int)
                 ]
-            seed = se2.relative(map_pose(sm.anchor_idx), map_pose(j))
+            seed = se2.relative(
+                map_pose(self.submaps[smi].anchor_idx), map_pose(j)
+            )
+            pending.append((j, smi, query, seed))
+        self._kf_edge_done = max(self._kf_edge_done, last_complete)
+        if not pending:
+            return 0
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return self._kf_edges_host(pending, stats)
+        return self._kf_edges_device(pending, stats)
+
+    def _kf_edges_host(self, pending, stats) -> int:
+        """CPU path: direct numpy window correlation against
+        host-cached grids (fastest when the grids already live in host
+        memory)."""
+        cfg = self.config
+        made = 0
+        for j, smi, query, seed in pending:
+            sm = self.submaps[smi]
             refined, cov, score, why = self._pin_match_grid(
                 self._score_grid_host(sm), sm.high_res, sm.origin,
                 float(sm.resolution), query, seed,
@@ -981,26 +1021,149 @@ class SubmapLoopCloser:
                 min_overlap=cfg.kf_min_overlap,
                 pooled_np=self._pooled_grid_host(sm),
             )
-            if refined is None:
-                stats[why] += 1
-                continue
-            self.closures.append(
-                Closure(
-                    i=sm.anchor_idx, j=j,
-                    meas=self._gt_edge_hook("kf", sm.anchor_idx, j, refined),
-                    info=np.linalg.inv(cov), kind="kf",
-                )
-            )
-            stats["accepted"] += 1
-            made += 1
-            if os.environ.get("SLAM_LOG_MATCHES"):
-                print(
-                    f"[kfpin] kf{sm.anchor_idx}->kf{j} n={len(query)} "
-                    f"score={score:.2f}",
-                    flush=True,
-                )
-        self._kf_edge_done = max(self._kf_edge_done, last_complete)
+            made += self._pin_finish(j, sm, query, refined, cov,
+                                     score, why, stats)
         return made
+
+    def _kf_edges_device(self, pending, stats) -> int:
+        """Accelerator path: the bound pre-gate runs as ONE batched
+        device call over the stacked pooled grids
+        (matching.pin_bounds_batch), and the few passers' window
+        scores come from the device FFT correlator -- no submap grid
+        is ever pulled to the host (a blocking D2H through the
+        remote-TPU tunnel costs ~1-2 s per grid; 76+ s per full run
+        in the round-3 profile). Rotation set is frozen from
+        cfg.range_max (like _match_snapshot) so exactly one shape of
+        each kernel ever compiles; the superset of rotations makes
+        the search slightly MORE thorough than the host path's
+        per-query angular step."""
+        cfg = self.config
+        import time as _time
+
+        import jax.numpy as jnp
+
+        res = float(self.spec.resolution)
+        spec = matching.search_spec(
+            cfg.kf_search_window, cfg.kf_angular_window,
+            cfg.range_max, res,
+        )
+        stride = 1 << (max(1, cfg.branch_and_bound_depth) - 1)
+        use_bounds = stride >= 2 * spec.n_linear
+        R = 2 * spec.n_angular + 1
+        ks = np.arange(R) - spec.n_angular
+        size = self.spec.size
+        fft_size = size + 128
+        _t = _time.perf_counter()
+        stack = self._get_pin_stack() if use_bounds else None
+        self.prof["kf_stack"] += _time.perf_counter() - _t
+        made = 0
+        Kp = 16
+        for lo in range(0, len(pending), Kp):
+            chunk = pending[lo : lo + Kp]
+            _t = _time.perf_counter()
+            if use_bounds:
+                pts = np.zeros((Kp, 512, 2), np.float32)
+                val = np.zeros((Kp, 512), bool)
+                orgs = np.zeros((Kp, 2), np.float32)
+                ths = np.zeros((Kp, R), np.float32)
+                ids = np.zeros(Kp, np.int32)
+                for k, (j, smi, query, seed) in enumerate(chunk):
+                    pts[k, : len(query)] = query
+                    val[k, : len(query)] = True
+                    orgs[k] = (
+                        np.asarray(self.submaps[smi].origin, np.float64)
+                        - seed[:2]
+                    )
+                    ths[k] = seed[2] + ks * spec.angular_step
+                    ids[k] = smi
+                bounds = np.asarray(
+                    matching.pin_bounds_batch(
+                        stack, jnp.asarray(ids), jnp.asarray(orgs),
+                        jnp.asarray(pts), jnp.asarray(val),
+                        jnp.asarray(ths), res, spec.n_linear,
+                        extra=stride < 2 * spec.n_linear + 1,
+                    )
+                )
+            else:
+                bounds = np.full(len(chunk), np.inf)
+            self.prof["kf_bounds"] += _time.perf_counter() - _t
+            for k, (j, smi, query, seed) in enumerate(chunk):
+                if bounds[k] < cfg.kf_min_score:
+                    stats["bound"] += 1
+                    continue
+                _t = _time.perf_counter()
+                sm = self.submaps[smi]
+                ptsb = np.zeros((512, 2), np.float32)
+                ptsb[: len(query)] = query
+                validb = np.arange(512) < len(query)
+                thetas = (seed[2] + ks * spec.angular_step).astype(
+                    np.float64
+                )
+                scores = np.asarray(
+                    matching.correlate_rotations(
+                        sm.score_grid,
+                        jnp.asarray(
+                            np.asarray(sm.origin, np.float64)
+                            - seed[:2],
+                            jnp.float32,
+                        ),
+                        jnp.asarray(ptsb), jnp.asarray(validb),
+                        jnp.asarray(thetas, jnp.float32), res,
+                        int(spec.n_linear), int(size), int(fft_size),
+                    ),
+                    dtype=np.float64,
+                )
+                self.prof["kf_window"] += _time.perf_counter() - _t
+                _t = _time.perf_counter()
+                refined, cov, score, why = self._pin_accept(
+                    scores, thetas, spec, seed, sm.high_res,
+                    sm.high_origin, 0.05, query, cfg.kf_min_overlap,
+                    None, None, res,
+                )
+                self.prof["kf_accept"] += _time.perf_counter() - _t
+                made += self._pin_finish(j, sm, query, refined, cov,
+                                         score, why, stats)
+        return made
+
+    def _get_pin_stack(self):
+        """Pow2-padded device stack of the pooled pin-screen grids
+        (rebuilt lazily when the submap set changes)."""
+        if (
+            self._pin_stack is None
+            or self._pin_stack[0] != len(self.submaps)
+        ):
+            import jax.numpy as jnp
+
+            M = 1
+            while M < len(self.submaps):
+                M *= 2
+            arrs = [sm.pooled_grid for sm in self.submaps]
+            arrs += [arrs[-1]] * (M - len(arrs))
+            self._pin_stack = (len(self.submaps), jnp.stack(arrs))
+        return self._pin_stack[1]
+
+    def _pin_finish(self, j, sm, query, refined, cov, score, why,
+                    stats) -> int:
+        """Book a pin result: count the reject reason or append the
+        closure edge."""
+        if refined is None:
+            stats[why] += 1
+            return 0
+        self.closures.append(
+            Closure(
+                i=sm.anchor_idx, j=j,
+                meas=self._gt_edge_hook("kf", sm.anchor_idx, j, refined),
+                info=np.linalg.inv(cov), kind="kf",
+            )
+        )
+        stats["accepted"] += 1
+        if os.environ.get("SLAM_LOG_MATCHES"):
+            print(
+                f"[kfpin] kf{sm.anchor_idx}->kf{j} n={len(query)} "
+                f"score={score:.2f}",
+                flush=True,
+            )
+        return 1
 
 
     # --------------------------------------------------------------------
@@ -1190,6 +1353,7 @@ class SubmapLoopCloser:
                 sm.high_origin = hi_grid.origin
                 sm.score_grid_np = None
                 sm.pooled_np = None
+            self._pin_stack = None
             by_anchor = {sm.anchor_idx: sm for sm in self.submaps}
             n = len(self.pg_poses)
             for c in self.closures:

@@ -1201,6 +1201,63 @@ def pin_bound_host(
     return float(vals.mean(axis=1).max())
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_linear", "extra")
+)
+def pin_bounds_batch(
+    pooled_stack,  # (M, S, S) stacked level-(depth-1) pooled grids
+    sm_ids,  # (Kp,) int32 per-pin submap index into the stack
+    origins,  # (Kp, 2) grid origin minus the pin seed xy
+    points,  # (Kp, N, 2)
+    point_valid,  # (Kp, N) bool
+    thetas,  # (Kp, R)
+    resolution,
+    n_linear: int,
+    extra: bool,
+):
+    """Device-batched pin_bound_host: exact upper bounds for a batch
+    of per-keyframe pin candidates in ONE device call. The accelerator
+    path of backend._keyframe_edges uses this instead of pulling every
+    submap's grids to the host (round-3/4 profiling: blocking D2H of
+    the pin grids through the remote-TPU tunnel cost 76+ s per
+    663-frame run, and copy_to_host_async stalls the tunnel outright).
+    `extra` = the 2x2 coverage lookups for stride == 2*n_linear (see
+    pin_bound_host). Returns (Kp,) bounds."""
+    S = pooled_stack.shape[1]
+    c, s = jnp.cos(thetas), jnp.sin(thetas)  # (Kp, R)
+    px = (
+        c[:, :, None] * points[:, None, :, 0]
+        - s[:, :, None] * points[:, None, :, 1]
+    )  # (Kp, R, N)
+    py = (
+        s[:, :, None] * points[:, None, :, 0]
+        + c[:, :, None] * points[:, None, :, 1]
+    )
+    cx = jnp.floor(
+        (px - origins[:, None, None, 0]) / resolution
+    ).astype(jnp.int32) - n_linear
+    cy = jnp.floor(
+        (py - origins[:, None, None, 1]) / resolution
+    ).astype(jnp.int32) - n_linear
+    cx = jnp.clip(cx, 0, S - 1)
+    cy = jnp.clip(cy, 0, S - 1)
+
+    def look(dx, dy):
+        gx = jnp.minimum(cx + dx, S - 1)
+        gy = jnp.minimum(cy + dy, S - 1)
+        return pooled_stack[sm_ids[:, None, None], gx, gy]
+
+    vals = look(0, 0)
+    if extra:
+        vals = jnp.maximum(vals, look(1, 0))
+        vals = jnp.maximum(vals, look(0, 1))
+        vals = jnp.maximum(vals, look(1, 1))
+    vals = jnp.maximum(vals, PMIN)
+    vals = jnp.where(point_valid[:, None, :], vals, 0.0)
+    n = jnp.maximum(jnp.sum(point_valid, axis=-1), 1).astype(vals.dtype)
+    return jnp.max(jnp.sum(vals, axis=-1) / n[:, None], axis=-1)
+
+
 def correlate_window_host(
     score_grid,  # (S, S) numpy level-0 (dilated) score grid
     origin,  # (2,)
@@ -1377,14 +1434,20 @@ def fused_match(
     K: int,
     w_lin: int = 31,
     w_rot: int = 5,
+    plane_live=None,  # (C, R) bool: planes still in play (paging)
 ):
     """One-call exhaustive-equivalent candidate-set match.
 
-    Returns (best_score, pose (3,), cov (3,3), best_cand, exact_flag).
-    exact_flag: True iff every plane left unscored has an upper bound
-    <= max(best_score, min_score) -- the same pruning floor the
-    sequential path uses, so acceptance decisions are identical.
-    """
+    Returns (best_score, pose (3,), cov (3,3), best_cand, kth_bound,
+    scored_planes (K,) int32). Exactness contract: every plane outside
+    the top-K has coarse upper bound <= kth_bound, so when kth_bound
+    <= max(best_score, min_score) no unscored plane can change the
+    accept decision. When it can, the host wrapper calls again with
+    `plane_live` masking out `scored_planes` -- the SAME compiled
+    shape pages through the next K planes by bound (round-3's
+    K-widening changed the static K and recompiled, costing ~60 s per
+    widening through the remote-compile tunnel -- the two largest
+    backend ticks of the round-3 TPU profile)."""
     C, R = thetas.shape
     n_valid = jnp.maximum(jnp.sum(point_valid), 1).astype(jnp.float32)
 
@@ -1452,6 +1515,8 @@ def fused_match(
     bounds = jnp.max(b, axis=-1)  # (C, R) sum over in-coarse points
     bounds = (bounds + (n_valid - cn_in.reshape(C, R)) * PMIN) / n_valid
     bounds = jnp.where(live[:, None], bounds, -jnp.inf)
+    if plane_live is not None:
+        bounds = jnp.where(plane_live, bounds, -jnp.inf)
 
     # ---- stage B: top-K planes by bound ----
     flat_bounds = bounds.reshape(-1)
@@ -1500,10 +1565,9 @@ def fused_match(
         ]
     )
 
-    # exactness: every unscored plane's bound <= the pruning floor
-    floor = jnp.maximum(best_score, min_score)
-    kth = top_vals[K - 1]  # planes outside top-K have bound <= kth
-    exact = (kth <= floor) | (K >= C * R)
+    # exactness floor: planes outside this pass's top-K have bound <=
+    # kth (the host wrapper compares against max(best, min_score))
+    kth = top_vals[K - 1]
 
     # ---- stage E: covariance window via the same hist+FFT machinery ----
     # 2*w_rot+1 rotation planes around the winner (clipped to the
@@ -1557,7 +1621,7 @@ def fused_match(
             cov.dtype,
         )
     )
-    return best_score, pose, cov, best_cand, exact
+    return best_score, pose, cov, best_cand, kth, top_idx, bounds
 
 
 def match_candidates_fused(
@@ -1571,13 +1635,21 @@ def match_candidates_fused(
     stride: int,
     fft_margin_bucket: int = 128,
     K: int = 128,
-    c_bucket: int = 1,
+    c_bucket: int = 16,
 ):
     """Host wrapper over fused_match with the same contract as
     match_candidates_pruned: (best_idx or None, score, pose, cov).
-    Widens K (4x, then exhaustive) when the exactness flag fails.
-    c_bucket: minimum padded candidate count (freeze the compiled
-    shape on slow-compile backends)."""
+
+    Compiled-shape discipline (the round-4 latency fix): exactly ONE
+    fused_match shape is ever compiled per (R, N-bucket). Candidate
+    sets larger than c_bucket page through the same kernel in chunks
+    of c_bucket (running best carries across chunks as the pruning
+    floor), and within a chunk, exactness shortfalls page through the
+    next-K planes via the plane_live mask instead of recompiling with
+    a larger K. Round 3 did both by reshaping (pow2 candidate growth,
+    4x K widening); each new shape cost ~30-90 s of XLA compile
+    through the remote-TPU tunnel and produced the 60-70 s backend
+    ticks in the e2e profile."""
     import numpy as _np
 
     size = score_grids[0].shape[0]
@@ -1589,53 +1661,118 @@ def match_candidates_fused(
     pts = _np.zeros((n_bucket, 2), _np.float32)
     pts[:N] = points
     valid = _np.arange(n_bucket) < N
-    # pow2-pad the candidate set (compiled-shape bound)
-    Cp = max(1, c_bucket)
-    while Cp < C:
-        Cp *= 2
+    pts_d = jnp.asarray(pts)
+    valid_d = jnp.asarray(valid)
     R_full = 2 * spec.n_angular + 1
     ks = _np.arange(R_full) - spec.n_angular
-    thetas = _np.stack(
-        [
-            (float(t0) + ks * spec.angular_step).astype(_np.float32)
-            for t0 in init_thetas
-        ]
-        + [_np.zeros(R_full, _np.float32)] * (Cp - C)
-    )
-    grids = jnp.stack(list(score_grids) + [score_grids[0]] * (Cp - C))
-    pooled = jnp.stack(list(pooled_grids) + [pooled_grids[0]] * (Cp - C))
-    origs = jnp.stack(
-        [jnp.asarray(o, jnp.float32) for o in origins]
-        + [jnp.asarray(origins[0], jnp.float32)] * (Cp - C)
-    )
-    live = _np.arange(Cp) < C
-    th0 = _np.asarray(
-        list(init_thetas) + [0.0] * (Cp - C), _np.float32
-    )
     fft_size = size + fft_margin_bucket
-
+    Cp = max(1, c_bucket)
     k_eff = min(K, Cp * R_full)
-    while True:
-        score, pose, cov, cand, exact = jax.device_get(
-            fused_match(
-                grids, pooled, origs, jnp.asarray(thetas),
-                jnp.asarray(live), jnp.asarray(pts), jnp.asarray(valid),
-                jnp.asarray(th0), jnp.float32(spec.angular_step),
-                jnp.float32(min_score), float(spec.resolution),
-                int(spec.n_linear), int(size), int(fft_size),
-                int(stride), int(k_eff),
-            )
+
+    best = (None, -_np.inf, None, None)  # (cand, score, pose, cov)
+    for lo in range(0, C, Cp):
+        chunk = list(range(lo, min(lo + Cp, C)))
+        nc = len(chunk)
+        thetas = _np.stack(
+            [
+                (float(init_thetas[i]) + ks * spec.angular_step).astype(
+                    _np.float32
+                )
+                for i in chunk
+            ]
+            + [_np.zeros(R_full, _np.float32)] * (Cp - nc)
         )
-        if bool(exact) or k_eff >= Cp * R_full:
-            break
-        k_eff = min(k_eff * 4, Cp * R_full)
-    if float(score) < min_score:
-        return None, float(score), None, None
-    return (
-        int(cand), float(score),
-        _np.asarray(pose, _np.float64),
-        _np.asarray(cov, _np.float64),
-    )
+        grids = jnp.stack(
+            [score_grids[i] for i in chunk]
+            + [score_grids[chunk[0]]] * (Cp - nc)
+        )
+        pooled = jnp.stack(
+            [pooled_grids[i] for i in chunk]
+            + [pooled_grids[chunk[0]]] * (Cp - nc)
+        )
+        origs = jnp.stack(
+            [jnp.asarray(origins[i], jnp.float32) for i in chunk]
+            + [jnp.asarray(origins[chunk[0]], jnp.float32)] * (Cp - nc)
+        )
+        live = _np.arange(Cp) < nc
+        th0 = _np.asarray(
+            [init_thetas[i] for i in chunk] + [0.0] * (Cp - nc),
+            _np.float32,
+        )
+        def call(mask):
+            return jax.device_get(
+                fused_match(
+                    grids, pooled, origs, jnp.asarray(thetas),
+                    jnp.asarray(live), pts_d, valid_d,
+                    jnp.asarray(th0), jnp.float32(spec.angular_step),
+                    jnp.float32(min_score), float(spec.resolution),
+                    int(spec.n_linear), int(size), int(fft_size),
+                    int(stride), int(k_eff),
+                    plane_live=jnp.asarray(mask),
+                )
+            )
+
+        plane_live = _np.ones((Cp, R_full), bool)
+        winners = []  # per-pass (score, pose, cov, cand)
+        bounds_np = None
+        while True:
+            # the running best across chunks/passes is the floor: a
+            # plane whose bound is below it cannot change the outcome
+            score, pose, cov, cand, kth, scored, bounds = call(plane_live)
+            if bounds_np is None:
+                bounds_np = _np.asarray(bounds)
+            winners.append(
+                (
+                    float(score), _np.asarray(pose, _np.float64),
+                    _np.asarray(cov, _np.float64), int(cand),
+                )
+            )
+            m_chunk = max(w[0] for w in winners)
+            # exact when no remaining plane's bound beats the floor
+            if float(kth) <= max(min_score, best[1], m_chunk):
+                break
+            pl = plane_live.reshape(-1)
+            pl[_np.asarray(scored)] = False
+            if not pl.any():
+                break
+            plane_live = pl.reshape(Cp, R_full)
+        m_chunk = max(w[0] for w in winners)
+        if len(winners) > 1 and m_chunk >= min_score:
+            # paging split the noise band across passes, so each
+            # per-pass centered tie-break saw a partial pool. Restore
+            # the single-call semantics: re-score every band-ELIGIBLE
+            # plane (bound within SCORE_NOISE_BAND of the chunk max)
+            # in one pool with the SAME compiled shape. If the band
+            # outgrows K (pathological self-similarity), fall back to
+            # the host lexicographic rule over pass winners -- max
+            # score, centered tie-break within the band.
+            band = bounds_np >= m_chunk - SCORE_NOISE_BAND
+            if band.sum() <= k_eff:
+                score, pose, cov, cand, _, _, _ = call(band)
+                chunk_best = (
+                    float(score), _np.asarray(pose, _np.float64),
+                    _np.asarray(cov, _np.float64), int(cand),
+                )
+            else:
+                eligible = [
+                    w
+                    for w in winners
+                    if w[0] >= m_chunk - SCORE_NOISE_BAND
+                ]
+                chunk_best = min(
+                    eligible,
+                    key=lambda w: float(w[1][0] ** 2 + w[1][1] ** 2),
+                )
+        else:
+            chunk_best = winners[0]
+        if chunk_best[0] > best[1]:
+            best = (
+                chunk[0] + chunk_best[3], chunk_best[0],
+                chunk_best[1], chunk_best[2],
+            )
+    if best[0] is None or best[1] < min_score:
+        return None, best[1], None, None
+    return best
 
 
 # ---------------------------------------------------------------------------

@@ -703,3 +703,54 @@ class TestPinBoundCoverage:
             pooled, origin, res, pt, thetas, n_linear, stride=16
         )
         assert new_bound >= true - 1e-6
+
+
+class TestPinBoundsBatch:
+    """Device-batched pin screen (matching.pin_bounds_batch) must
+    reproduce the host bound (pin_bound_host) per pin."""
+
+    def test_matches_host_bounds(self):
+        rng = np.random.default_rng(11)
+        depth, n_linear, res = 5, 8, 0.1
+        size = 128
+        M = 3
+        pyrs = []
+        for m in range(M):
+            probs = np.zeros((size, size), np.float32)
+            occ = rng.integers(10, size - 10, (40, 2))
+            probs[occ[:, 0], occ[:, 1]] = rng.uniform(0.55, 0.95, 40)
+            pyrs.append(
+                np.asarray(precompute_pyramid(jnp.asarray(probs), depth))
+            )
+        pooled_np = [p[depth - 1].astype(np.float64) for p in pyrs]
+        stack = jnp.stack([jnp.asarray(p[depth - 1]) for p in pyrs])
+
+        Kp, N, R = 5, 60, 9
+        pts = np.zeros((Kp, N, 2), np.float32)
+        val = np.zeros((Kp, N), bool)
+        orgs = np.zeros((Kp, 2), np.float32)
+        ths = np.zeros((Kp, R), np.float32)
+        ids = rng.integers(0, M, Kp).astype(np.int32)
+        host = np.zeros(Kp)
+        for k in range(Kp):
+            n = int(rng.integers(20, N))
+            p = rng.uniform(2.0, 10.0, (n, 2))
+            pts[k, :n] = p
+            val[k, :n] = True
+            orgs[k] = rng.uniform(-1, 1, 2)
+            ths[k] = rng.uniform(-0.2, 0.2) + np.linspace(
+                -0.1, 0.1, R
+            )
+            host[k] = matching.pin_bound_host(
+                pooled_np[ids[k]], orgs[k].astype(np.float64), res,
+                p.astype(np.float64), ths[k].astype(np.float64),
+                n_linear, stride=16,
+            )
+        dev = np.asarray(
+            matching.pin_bounds_batch(
+                stack, jnp.asarray(ids), jnp.asarray(orgs),
+                jnp.asarray(pts), jnp.asarray(val), jnp.asarray(ths),
+                res, n_linear, extra=True,
+            )
+        )
+        np.testing.assert_allclose(dev, host, atol=1e-5)
