@@ -176,6 +176,24 @@ def time_matcher(reps=3):
     out = fn(score_grids, pooled, origins, thetas, pts.astype(np.float32),
              spec, 0.6, stride)
     assert out[0] is not None, "bench matcher found no match"
+    # device-score accuracy guard: re-evaluate the returned pose's
+    # score on the host with direct lookups. The TPU FFT silently
+    # degrades for some (size, batch) combinations (measured 0.803 vs
+    # an exact 0.894 at fft 512^2 -- enough to flip closure
+    # acceptance); this catches any regression on real hardware.
+    ci, sc, pose, _ = out
+    # offset (0,0) window at the matched rotation, origin shifted by
+    # the matched translation
+    host_sc = float(
+        matching.correlate_window_host(
+            np.asarray(score_grids[ci], np.float64),
+            origin - pose[:2], res, pts, np.array([pose[2]]), 0,
+        )[0, 0, 0]
+    )
+    assert abs(host_sc - sc) < 0.02, (
+        f"device matcher score {sc:.4f} vs host-exact {host_sc:.4f}: "
+        "degraded-precision FFT path suspected"
+    )
     t0 = time.perf_counter()
     for _ in range(reps):
         fn(score_grids, pooled, origins, thetas, pts.astype(np.float32),
@@ -195,12 +213,13 @@ def time_matcher(reps=3):
     native_ms = (time.perf_counter() - t0) / reps * 1e3
     assert got is not None and got[0] == n_cands - 1
 
-    # speed-of-light accounting for the fused path (VERDICT r3 #5)
+    # speed-of-light accounting for the fused path (VERDICT r3 #5);
+    # parameters match match_candidates_fused's defaults
     size = grids.shape[1]
     R_full = 2 * spec.n_angular + 1
     flops, hbm = fused_match_roofline(
         C=n_cands, R=R_full, N=256, size=size,
-        fft_size=size + 128, K=128, n_linear=spec.n_linear,
+        fft_size=size + 64, K=64, n_linear=spec.n_linear,
         stride=stride,
     )
     roof = {
@@ -217,9 +236,12 @@ def time_matcher(reps=3):
     return tpu_ms, native_ms, roof
 
 
-def time_end_to_end(max_frames=250):
+def time_end_to_end(max_frames=0):
     """Frames/s of the full pipeline on sim-office (BASELINE.md
-    frames/s at 1 chip)."""
+    frames/s at 1 chip). Default = the WHOLE dataset (663 frames),
+    matching how the CPU comparator (10.3 fps, RESULTS.md) is
+    measured; round 3 timed only 250 frames, which over-weights the
+    fixed final-cleanup cost ~2.6x."""
     from sparse_gslam_tpu.io.providers import create_data_provider
     from sparse_gslam_tpu.models.slam import SlamSystem
     from sparse_gslam_tpu.utils.config import load_dataset_config
@@ -243,11 +265,11 @@ def time_end_to_end(max_frames=250):
     for frame in provider.frames():
         system.process_frame(frame)
         n += 1
-        if n >= max_frames:
+        if max_frames and n >= max_frames:
             break
     system.final_cleanup()
     wall = time.perf_counter() - t0
-    return n / wall
+    return n / wall, n
 
 
 def main():
@@ -294,8 +316,8 @@ def main():
     )
 
     # end-to-end frames/s at 1 chip (BASELINE.md; VERDICT r1 item 5)
-    fps = time_end_to_end()
-    log(f"end-to-end sim-office 250 frames: {fps:.1f} frames/s")
+    fps, n_frames = time_end_to_end()
+    log(f"end-to-end sim-office {n_frames} frames: {fps:.1f} frames/s")
 
     print(
         json.dumps(
@@ -310,6 +332,7 @@ def main():
                     "match_native_bnb_ms": round(native_ms, 1),
                     "match_vs_native": round(native_ms / tpu_ms, 2),
                     "frames_per_s_e2e": round(fps, 2),
+                    "e2e_frames": n_frames,
                     **roof,
                 },
             }

@@ -1052,7 +1052,8 @@ class SubmapLoopCloser:
         R = 2 * spec.n_angular + 1
         ks = np.arange(R) - spec.n_angular
         size = self.spec.size
-        fft_size = size + 128
+        fft_size = size + 64  # NOT +128: 512^2 hits the degraded TPU
+        # FFT path (see matching._FFT_MAX_BATCH note)
         _t = _time.perf_counter()
         stack = self._get_pin_stack() if use_bounds else None
         self.prof["kf_stack"] += _time.perf_counter() - _t
@@ -1327,33 +1328,7 @@ class SubmapLoopCloser:
         for _ in range(max(0, rounds)):
             map_pose = self._map_transforms()
             est_arr = np.stack([map_pose(k) for k in range(len(kfs))])
-            # rebuild grids at the current poses
-            for sm in self.submaps:
-                rd = construct_multicloud(
-                    [k.data for k in kfs], est_arr, sm.start_idx,
-                    sm.anchor_idx, min(sm.end_idx, len(kfs)),
-                )
-                sm_grid = build_submap_grid(
-                    rd, self.spec, cfg.hit_probability,
-                    cfg.miss_probability,
-                )
-                hi_grid = build_submap_grid(
-                    rd, self.high_spec, cfg.hit_probability,
-                    cfg.miss_probability,
-                )
-                depth = max(1, cfg.branch_and_bound_depth)
-                pyr = precompute_pyramid(
-                    sm_grid.probs, depth, smooth=cfg.smoothing_kernel
-                )
-                sm.score_grid = pyr[0]
-                sm.pooled_grid = pyr[depth - 1]
-                sm.probs = sm_grid.probs
-                sm.origin = sm_grid.origin
-                sm.high_res = hi_grid.probs
-                sm.high_origin = hi_grid.origin
-                sm.score_grid_np = None
-                sm.pooled_np = None
-            self._pin_stack = None
+            self.rebuild_grids(est_arr)
             by_anchor = {sm.anchor_idx: sm for sm in self.submaps}
             n = len(self.pg_poses)
             for c in self.closures:
@@ -1417,6 +1392,46 @@ class SubmapLoopCloser:
             self.optimize(iterations=iterations, gnc_scale=gnc_scale)
 
     # --------------------------------------------------------------------
+    def rebuild_grids(self, est_arr: np.ndarray) -> None:
+        """Rebuild every submap's grids from the given keyframe poses
+        (shared by refine_map and the final re-match sweep). Why the
+        sweep needs it: sweep QUERIES are stitched from the current
+        (post-optimization) estimates while the grids were built from
+        the drifted estimates available at match time -- the pair is
+        systematically misaligned, which caps sweep scores exactly
+        where drift was worst (measured on sim-loops: the early
+        revisit segment's genuine re-traversals scored 0.31-0.52
+        against frozen grids, below every threshold, leaving recall at
+        0.50)."""
+        cfg = self.config
+        kfs = self.frontend.keyframes
+        for sm in self.submaps:
+            rd = construct_multicloud(
+                [k.data for k in kfs], est_arr, sm.start_idx,
+                sm.anchor_idx, min(sm.end_idx, len(kfs)),
+            )
+            sm_grid = build_submap_grid(
+                rd, self.spec, cfg.hit_probability, cfg.miss_probability
+            )
+            hi_grid = build_submap_grid(
+                rd, self.high_spec, cfg.hit_probability,
+                cfg.miss_probability,
+            )
+            depth = max(1, cfg.branch_and_bound_depth)
+            pyr = precompute_pyramid(
+                sm_grid.probs, depth, smooth=cfg.smoothing_kernel
+            )
+            sm.score_grid = pyr[0]
+            sm.pooled_grid = pyr[depth - 1]
+            sm.probs = sm_grid.probs
+            sm.origin = sm_grid.origin
+            sm.high_res = hi_grid.probs
+            sm.high_origin = hi_grid.origin
+            sm.score_grid_np = None
+            sm.pooled_np = None
+        self._pin_stack = None
+
+    # --------------------------------------------------------------------
     def rematch_all(self) -> int:
         """Global re-match sweep (called from final_cleanup when
         config.final_rematch): every submap's multicloud is matched
@@ -1450,6 +1465,11 @@ class SubmapLoopCloser:
         self.extend_chain()
         map_pose = self._map_transforms()
         est_arr = np.stack([map_pose(k) for k in range(len(kfs))])
+        if cfg.final_rebuild_grids:
+            # align the sweep's targets with its queries: both are now
+            # stitched from the same post-optimization estimates (see
+            # rebuild_grids)
+            self.rebuild_grids(est_arr)
         have = {
             (c.i, c.j)
             for c in self.closures

@@ -207,6 +207,16 @@ def correlate_all(
 # flips loop-closure decisions). Chunking every (i)rfft2 to at most
 # this many transforms per op stays on the accurate path; harmless on
 # CPU.
+#
+# Round-4 follow-up: the degraded path ALSO engages for power-of-two
+# transform sizes at batch <= 128 -- 512^2 transforms scored the bench
+# case 0.803 against a CPU-exact 0.894 while 448^2 (= 2^6 * 7, which
+# XLA lowers through its accurate mixed-radix path) matches to 6
+# decimals. fft_margin_bucket therefore defaults to 64 everywhere
+# (fft = 384 + 64 = 448); if the grid geometry ever produces a pow2
+# fft size again, re-verify scores against the CPU path
+# (tests/test_fused_match.py pins CPU equivalence; the bench cross-
+# checks the returned pose's score against a direct host evaluation).
 _FFT_MAX_BATCH = 128
 
 
@@ -725,7 +735,7 @@ def match_submaps_batched(
     points,  # (N,2) numpy
     spec: SearchSpec,
     chunk: int = 8,
-    fft_margin_bucket: int = 128,
+    fft_margin_bucket: int = 64,
 ):
     """Batched matchOne over candidate submaps with memory-bounded
     chunking. Returns list of (score, pose, cov) numpy triples."""
@@ -808,7 +818,7 @@ def match_candidates_pruned(
     spec: SearchSpec,
     min_score: float,
     stride: int,
-    fft_margin_bucket: int = 128,
+    fft_margin_bucket: int = 64,
 ):
     """Candidate-submap matching with exact rotation pruning.
 
@@ -997,7 +1007,7 @@ def match_candidates_pruned_batched(
     spec: SearchSpec,
     min_score: float,
     stride: int,
-    fft_margin_bucket: int = 128,
+    fft_margin_bucket: int = 64,
     chunk: int = 8,
 ):
     """TPU variant of match_candidates_pruned: same exact rotation
@@ -1633,8 +1643,8 @@ def match_candidates_fused(
     spec: SearchSpec,
     min_score: float,
     stride: int,
-    fft_margin_bucket: int = 128,
-    K: int = 128,
+    fft_margin_bucket: int = 64,
+    K: int = 64,
     c_bucket: int = 16,
 ):
     """Host wrapper over fused_match with the same contract as
@@ -1788,7 +1798,7 @@ def match_candidates_sharded(
     spec: SearchSpec,
     mesh,  # jax.sharding.Mesh with a "cands" axis
     min_score: float,
-    fft_margin_bucket: int = 128,
+    fft_margin_bucket: int = 64,
 ):
     """Multi-chip loop-closure fan-out (SURVEY §2.7 row 1): candidate
     submaps shard across the mesh's "cands" axis -- the TPU-native
@@ -1888,7 +1898,7 @@ def match_submap(
     points,  # (N,2) numpy query points (returns only)
     init_theta: float,
     spec: SearchSpec,
-    fft_margin_bucket: int = 128,
+    fft_margin_bucket: int = 64,
 ):
     """One candidate-submap match = reference matchOne
     (submap_loop_closer.cpp:108-115). Returns (score, pose, cov) as

@@ -180,6 +180,15 @@ class SlamConfig:
     # Global re-match sweep at final cleanup (backend.rematch_all):
     # match every submap pair within range, not just the live tail.
     final_rematch: bool = True
+    # Rebuild every submap's grids from the post-optimization poses
+    # before the sweep (backend.rebuild_grids): sweep queries are
+    # stitched from current estimates, so matching them against grids
+    # frozen at drifted match-time estimates caps scores exactly where
+    # drift was worst (sim-loops early revisit: 0.31-0.52 vs frozen
+    # grids). Distinct from final_refine_rounds, which RE-MEASURES
+    # existing edges (measured harmful); this only improves NEW
+    # detection.
+    final_rebuild_grids: bool = True
     # Sweep closures must be SHARP (window-cov eigensigma below
     # closure_ridge_sigma): the sweep has no PCM cohort to vet
     # corridor aliases, which are mutually consistent by construction
