@@ -897,21 +897,21 @@ class SubmapLoopCloser:
         valid = np.arange(Nb) < len(query)
         pts_d = jnp.asarray(ptsb)
         valid_d = jnp.asarray(valid)
-        coarse, _, probs = matching.refine_pose_cov(
-            sm.score_grid, sm.origin, float(sm.resolution),
-            pts_d, valid_d, jnp.asarray(seed, dtype=jnp.float32),
-        )
+        # both GN stages in one device program (one host sync instead
+        # of two; see refine_pose_cov_two_stage)
         if high_res:
             # final polish on the 0.05 m grid: halves the
             # discretization error of the match-resolution grid
-            refined, cov, _ = matching.refine_pose_cov(
+            refined, cov, probs = matching.refine_pose_cov_two_stage(
+                sm.score_grid, sm.origin, float(sm.resolution),
                 sm.high_res, sm.high_origin, 0.05,
-                pts_d, valid_d, coarse,
+                pts_d, valid_d, jnp.asarray(seed, dtype=jnp.float32),
             )
         else:
-            refined, cov, _ = matching.refine_pose_cov(
+            refined, cov, probs = matching.refine_pose_cov_two_stage(
+                sm.score_grid, sm.origin, float(sm.resolution),
                 sm.probs, sm.origin, float(sm.resolution),
-                pts_d, valid_d, coarse,
+                pts_d, valid_d, jnp.asarray(seed, dtype=jnp.float32),
             )
         refined = np.asarray(refined).astype(np.float64)
         # reject a jump the pose estimate cannot plausibly have

@@ -590,6 +590,38 @@ def refine_pose(
 
 
 @functools.partial(jax.jit, static_argnames=("iterations",))
+def refine_pose_cov_two_stage(
+    coarse_grid,  # (S, S) dilated score grid (wide convergence basin)
+    coarse_origin,
+    coarse_res,
+    fine_grid,  # (S2, S2) raw/high-res probability grid (unbiased)
+    fine_origin,
+    fine_res,
+    points,
+    point_valid,
+    init_pose,
+    iterations: int = 10,
+):
+    """backend._refine_on_submap's two-stage GN (coarse basin on the
+    dilated grid, polish + Censi covariance on the raw/high-res grid)
+    as ONE device program. The split version pays a host
+    synchronization between the stages -- 30-60+ ms per sync through
+    the remote-TPU tunnel, twice per chain-edge hop. Returns
+    (refined_pose, censi_cov, coarse_probs): the overlap gate reads
+    the COARSE-stage per-point occupancy (dilated grid), exactly like
+    the split path did."""
+    coarse, _, cprobs = refine_pose_cov(
+        coarse_grid, coarse_origin, coarse_res, points, point_valid,
+        init_pose, iterations=iterations,
+    )
+    refined, cov, _ = refine_pose_cov(
+        fine_grid, fine_origin, fine_res, points, point_valid, coarse,
+        iterations=iterations,
+    )
+    return refined, cov, cprobs
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
 def refine_pose_cov(
     grid,  # (size, size) high-res probability grid (0 = unknown)
     origin,
