@@ -78,9 +78,15 @@ def main():
             for c in b.closures
             if c.active and not c.suppressed and c.kind == "loop"
         ]
+        infos = [
+            c.info
+            for c in b.closures
+            if c.active and not c.suppressed and c.kind == "loop"
+        ]
         pr = closure_pr(
             triples, gt_times, gt_poses,
             match_radius=max(6.0, slam_cfg.max_match_distance + 2.0),
+            infos=infos,
         )
     print(
         json.dumps(

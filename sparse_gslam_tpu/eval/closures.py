@@ -74,6 +74,33 @@ def revisit_segments(
     return segments
 
 
+def ridge_decompose(err, info, trans_tol=0.5, sigma_wide=0.4):
+    """Decompose a closure's translational GT error into the
+    eigenbasis of its OWN claimed covariance (inverse of `info`).
+
+    Returns dict(along, cross, sigma_along, sigma_cross, is_ridge):
+    `along` is the error component on the widest covariance axis,
+    `cross` on the narrowest. A closure is a RIDGE measurement when
+    its claimed sigma on the wide axis exceeds `sigma_wide` (the
+    matcher declared translational ambiguity along that axis -- the
+    corridor aliasing case the covariance machinery exists to
+    express, fast_correlative_scan_matcher_2d.cc:536-560)."""
+    cov = np.linalg.inv(np.asarray(info, np.float64))
+    t = 0.5 * (cov[:2, :2] + cov[:2, :2].T)
+    w, v = np.linalg.eigh(t)  # ascending
+    sigma_cross = float(np.sqrt(max(w[0], 0.0)))
+    sigma_along = float(np.sqrt(max(w[1], 0.0)))
+    cross = float(abs(err[:2] @ v[:, 0]))
+    along = float(abs(err[:2] @ v[:, 1]))
+    return dict(
+        along=along,
+        cross=cross,
+        sigma_along=sigma_along,
+        sigma_cross=sigma_cross,
+        is_ridge=sigma_along > sigma_wide,
+    )
+
+
 def closure_pr(
     closures,  # list of (t_i, t_j, meas (3,)) accepted closures
     gt_times,
@@ -83,6 +110,8 @@ def closure_pr(
     trans_tol: float = 0.5,
     rot_tol: float = 0.2,
     match_radius: float = 6.0,
+    infos=None,  # optional list of (3,3) information matrices
+    ridge_k: float = 2.0,
 ):
     """Returns dict with precision, recall, counts, and per-closure
     verdicts.
@@ -91,10 +120,23 @@ def closure_pr(
     verdict uses the looser `match_radius` (the matcher legitimately
     closes across max_match_distance ~5 m submap separations -- what
     makes a closure false is a wrong MEASUREMENT, judged by
-    trans_tol/rot_tol against the ground-truth relative pose)."""
+    trans_tol/rot_tol against the ground-truth relative pose).
+
+    When per-closure information matrices are supplied, a second
+    RIDGE-AWARE verdict is computed (VERDICT r4 #5): the raw 0.5 m
+    tolerance is kept on the narrow (cross-ridge) covariance axis and
+    on rotation, while the wide (along-ridge) axis is judged against
+    the closure's OWN claimed sigma (within ridge_k standard
+    deviations). A corridor match whose along-axis position is
+    genuinely unobservable is then counted true exactly when its
+    error lies inside the uncertainty it honestly declared, and false
+    when it exceeds even that self-declared band."""
     verdicts = []
+    ridge_verdicts = []
+    ridge_rows = []
     tp = 0
-    for t_i, t_j, meas in closures:
+    tp_ridge = 0
+    for k, (t_i, t_j, meas) in enumerate(closures):
         gi = interp_gt(gt_times, gt_poses, t_i)
         gj = interp_gt(gt_times, gt_poses, t_j)
         near = np.linalg.norm(gi[:2] - gj[:2]) < match_radius
@@ -107,6 +149,22 @@ def closure_pr(
         )
         verdicts.append(bool(good))
         tp += bool(good)
+        if infos is not None:
+            dec = ridge_decompose(err, infos[k], trans_tol)
+            # cross-ridge + rotation keep the raw tolerance; the
+            # along-ridge component is in-band when within ridge_k of
+            # the closure's self-declared sigma (but never looser than
+            # the raw tolerance for non-ridge measurements)
+            along_tol = max(trans_tol, ridge_k * dec["sigma_along"])
+            rgood = (
+                near
+                and dec["cross"] < trans_tol
+                and dec["along"] < along_tol
+                and abs(se2.wrap_angle(err[2])) < rot_tol
+            )
+            ridge_verdicts.append(bool(rgood))
+            tp_ridge += bool(rgood)
+            ridge_rows.append(dec)
     precision = tp / len(closures) if closures else float("nan")
 
     segments = revisit_segments(gt_times, gt_poses, radius, min_time_sep)
@@ -118,7 +176,7 @@ def closure_pr(
         )
         detected += hit
     recall = detected / len(segments) if segments else float("nan")
-    return dict(
+    out = dict(
         precision=precision,
         recall=recall,
         n_closures=len(closures),
@@ -128,3 +186,11 @@ def closure_pr(
         verdicts=verdicts,
         segments=segments,
     )
+    if infos is not None:
+        out["precision_ridge"] = (
+            tp_ridge / len(closures) if closures else float("nan")
+        )
+        out["n_true_ridge"] = tp_ridge
+        out["ridge_verdicts"] = ridge_verdicts
+        out["ridge_rows"] = ridge_rows
+    return out

@@ -195,10 +195,15 @@ def simulate(cfg: SimConfig = SimConfig(), walls=None, waypoints=None):
         if len(gt) > 20000:
             raise RuntimeError("simulation did not terminate")
     gt = np.stack(gt)
+    return _observe(gt, cfg, walls, angles, rng)
+
+
+def _observe(gt, cfg: SimConfig, walls, angles, rng):
+    """Shared sensor emission: noisy odometry integrated from gt
+    deltas + ray-cast scans with range noise."""
     n = len(gt)
     times = np.arange(n) * cfg.dt
 
-    # noisy odometry: integrate gt deltas with multiplicative noise
     odom = [gt[0].copy()]
     for i in range(1, n):
         d = se2.relative(gt[i - 1], gt[i])
@@ -231,6 +236,68 @@ def simulate(cfg: SimConfig = SimConfig(), walls=None, waypoints=None):
         "walls": walls,
         "cfg": cfg,
     }
+
+
+# body-frame beam directions of the Crazyflie multiranger layout the
+# wall follower consumes (front, left, back, right -- converter.cpp's
+# 4-beam stream order)
+MULTIRANGER_ANGLES = np.array([0.0, np.pi / 2, np.pi, -np.pi / 2])
+
+
+def simulate_controlled(
+    controller,
+    cfg: SimConfig = SimConfig(),
+    walls=None,
+    n_steps: int = 2000,
+    start=None,
+    sensor_range: float = 4.0,
+):
+    """Closed-loop simulation driven by an onboard controller
+    (models/wall_follower.WallFollower equivalent of the reference's
+    wallfollowing_multirange_onboard.h:10-15 exploration interface).
+
+    Each step ray-casts the 4-beam multiranger, asks the controller
+    for (v, omega), and integrates a unicycle model with a hard
+    collision clamp (never step into a wall closer than the commanded
+    advance). Returns the same dict as simulate(), so the standard
+    CARMEN-log + SLAM + eval flow runs unchanged on autonomously
+    explored trajectories."""
+    rng = np.random.default_rng(cfg.seed)
+    if walls is None:
+        walls = rect_room_world()
+    if start is None:
+        start = np.array([2.0, 2.0, 0.0])
+    angles = np.linspace(cfg.fov[0], cfg.fov[1], cfg.n_beams)
+
+    gt = [np.asarray(start, np.float64).copy()]
+    for _ in range(n_steps):
+        pose = gt[-1]
+        r4 = ray_cast(pose, MULTIRANGER_ANGLES, walls, sensor_range)
+        v, omega = controller.step(
+            float(r4[0]), float(r4[1]), float(r4[2]), float(r4[3]),
+            dt=cfg.dt,
+        )
+        dth = float(np.clip(omega * cfg.dt, -3 * cfg.turn_rate,
+                            3 * cfg.turn_rate))
+        step = float(np.clip(v * cfg.dt, 0.0, cfg.speed))
+        # collision clamp: cannot advance past the wall ahead
+        heading = se2.wrap_angle(pose[2] + dth)
+        ahead = ray_cast(
+            np.array([pose[0], pose[1], heading]),
+            np.zeros(1), walls, sensor_range,
+        )[0]
+        step = min(step, max(0.0, ahead - 0.15))
+        gt.append(
+            np.array(
+                [
+                    pose[0] + np.cos(heading) * step,
+                    pose[1] + np.sin(heading) * step,
+                    heading,
+                ]
+            )
+        )
+    gt = np.stack(gt)
+    return _observe(gt, cfg, walls, angles, rng)
 
 
 def write_carmen_log(path: str, sim: dict):

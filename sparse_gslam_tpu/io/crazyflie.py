@@ -88,6 +88,107 @@ class LiveFrameSource:
                 yield self._out.popleft()
 
 
+class CommandClient:
+    """The command side of the reference's live-robot flow: the
+    takeoff service client (scripts/takeoff.py:1-14) and the
+    teleop / wall-following-autonomy toggle of controller.py
+    (scripts/controller.py: joystick passthrough + the service that
+    flips the onboard wall follower on and off).
+
+    `link` is anything with send_hover_setpoint(vx, vy, yawrate_deg,
+    z) and send_stop_setpoint() -- the cflib Commander satisfies it,
+    and tests use a recording mock. Call step(ranges4, dt) at the
+    telemetry rate; it emits exactly one setpoint per call from the
+    active mode:
+
+    - IDLE: nothing
+    - TAKEOFF: ramp z from 0 to hover_height over takeoff_time
+    - TELEOP: pass through the last set_velocity() command
+    - WALL_FOLLOW: models.wall_follower output (the autonomous
+      exploration the reference declares in
+      wallfollowing_multirange_onboard.h:10-15)
+    - LAND: ramp z to 0, then stop
+    """
+
+    def __init__(self, link, hover_height: float = 0.5,
+                 takeoff_time: float = 2.0, wall_follower=None):
+        self.link = link
+        self.hover_height = hover_height
+        self.takeoff_time = takeoff_time
+        self.mode = "IDLE"
+        self._z = 0.0
+        self._t_mode = 0.0
+        self._teleop = (0.0, 0.0, 0.0)  # vx, vy, yawrate (rad/s)
+        if wall_follower is None:
+            from ..models.wall_follower import WallFollower
+
+            wall_follower = WallFollower()
+        self.wall_follower = wall_follower
+
+    # -- service entry points (takeoff.py / controller.py toggles) ----
+    def takeoff(self):
+        self.mode = "TAKEOFF"
+        self._t_mode = 0.0
+
+    def land(self):
+        self.mode = "LAND"
+        self._t_mode = 0.0
+
+    def set_velocity(self, vx: float, vy: float, yawrate: float):
+        """Teleop passthrough (controller.py joystick path)."""
+        self.mode = "TELEOP"
+        self._teleop = (vx, vy, yawrate)
+
+    def toggle_wall_following(self, on: bool):
+        """The autonomy service: True hands control to the wall
+        follower, False returns to teleop hover."""
+        if on:
+            self.mode = "WALL_FOLLOW"
+        elif self.mode == "WALL_FOLLOW":
+            self.mode = "TELEOP"
+            self._teleop = (0.0, 0.0, 0.0)
+
+    # -- telemetry-rate pump ------------------------------------------
+    def step(self, ranges4=None, dt: float = 0.1):
+        """ranges4 = (front, left, back, right) meters; required in
+        WALL_FOLLOW mode."""
+        self._t_mode += dt
+        if self.mode == "IDLE":
+            return
+        if self.mode == "TAKEOFF":
+            a = min(self._t_mode / self.takeoff_time, 1.0)
+            self._z = a * self.hover_height
+            self.link.send_hover_setpoint(0.0, 0.0, 0.0, self._z)
+            if a >= 1.0:
+                self.mode = "TELEOP"
+                self._teleop = (0.0, 0.0, 0.0)
+            return
+        if self.mode == "LAND":
+            self._z = max(self._z - dt * self.hover_height
+                          / self.takeoff_time, 0.0)
+            if self._z <= 0.0:
+                self.link.send_stop_setpoint()
+                self.mode = "IDLE"
+            else:
+                self.link.send_hover_setpoint(0.0, 0.0, 0.0, self._z)
+            return
+        if self.mode == "WALL_FOLLOW":
+            if ranges4 is None:
+                raise ValueError("WALL_FOLLOW mode needs ranges4")
+            v, omega = self.wall_follower.step(
+                float(ranges4[0]), float(ranges4[1]),
+                float(ranges4[2]), float(ranges4[3]), dt=dt,
+            )
+            self.link.send_hover_setpoint(
+                v, 0.0, math.degrees(omega), self._z
+            )
+            return
+        vx, vy, yawrate = self._teleop
+        self.link.send_hover_setpoint(
+            vx, vy, math.degrees(yawrate), self._z
+        )
+
+
 class CrazyflieBridge:
     """cflib log-block subscription feeding a LiveFrameSource
     (controller.py:40-120 semantics: two 10 Hz log configs)."""

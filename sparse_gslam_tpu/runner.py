@@ -65,6 +65,14 @@ def main(argv=None):
         "dir): the periodic-visualization analog of the reference's "
         "live rviz occupancy topics (visualizer.cpp:287-384)",
     )
+    ap.add_argument(
+        "--live-view", type=float, default=0.0, metavar="HZ",
+        help="render live maps at this rate on a background thread "
+        "while the run progresses (<name>_live_{lm,pg}.png + "
+        "_live_status.json, atomically replaced): the runtime "
+        "equivalent of the reference's visualize_rate rviz surface "
+        "(visualizer.cpp:425-441)",
+    )
     ap.add_argument("--checkpoint", default="", help="save state here")
     ap.add_argument("--resume", default="", help="load state first")
     ap.add_argument(
@@ -137,6 +145,13 @@ def main(argv=None):
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
+    live = None
+    if args.live_view > 0:
+        from .eval.live_view import LiveVisualizer
+
+        live = LiveVisualizer(system, prefix, rate=args.live_view)
+        live.start()
+
     t0 = time.time()
     n = 0
     if args.realtime:
@@ -160,9 +175,17 @@ def main(argv=None):
             system.run_realtime(paced(), rate=args.rate)
         else:
             system.run_realtime(frames, rate=args.rate)
+        if live is not None:
+            live.stop(final=True)
     else:
         for frame in provider.frames():
-            system.process_frame(frame)
+            if live is not None:
+                # the live thread snapshots under system.lock; pair it
+                # here (the realtime path already locks its ticks)
+                with system.lock:
+                    system.process_frame(frame)
+            else:
+                system.process_frame(frame)
             n += 1
             if args.max_frames and n >= args.max_frames:
                 break
@@ -175,7 +198,13 @@ def main(argv=None):
                     f"({time.time() - t0:.1f}s)",
                     flush=True,
                 )
+        if live is not None:
+            # quiesce the render thread before cleanup mutates the
+            # graphs without the lock; a final frame renders below
+            live.stop(final=False)
         system.final_cleanup()
+        if live is not None:
+            live.render_once()
     wall = time.time() - t0
     if args.profile:
         jax.profiler.stop_trace()
@@ -271,16 +300,24 @@ def main(argv=None):
             n_sup = system.backend.suppressed_closure_count
             if n_sup:
                 print(f"consistency-suppressed closures: {n_sup}")
+            infos = [
+                c.info
+                for c in system.backend.closures
+                if c.active and not c.suppressed and c.kind == "loop"
+            ]
             pr = closure_pr(
                 triples, gt_times, gt_poses,
                 # a closure across the full candidate-gate distance is
                 # legitimate; what makes one false is a wrong
                 # MEASUREMENT (trans/rot tolerance), not endpoint span
                 match_radius=max(6.0, slam_cfg.max_match_distance + 2.0),
+                infos=infos,
             )
             print(
                 f"closures: precision {pr['precision']:.2f} "
                 f"({pr['n_true']}/{pr['n_closures']} true), "
+                f"ridge-aware precision {pr['precision_ridge']:.2f} "
+                f"({pr['n_true_ridge']}/{pr['n_closures']}), "
                 f"recall {pr['recall']:.2f} "
                 f"({pr['n_detected']}/{pr['n_segments']} revisit "
                 f"segments detected)"
@@ -312,8 +349,9 @@ def main(argv=None):
             # by raw error yet carry no more weighted pull than a true
             # closure (VERDICT r2 next-step #4 quantification).
             true_w, false_rows = [], []
-            for c, (t_i, t_j, meas), ok in zip(
-                active, triples, pr["verdicts"]
+            for c, (t_i, t_j, meas), ok, rok, dec in zip(
+                active, triples, pr["verdicts"],
+                pr["ridge_verdicts"], pr["ridge_rows"],
             ):
                 gi = interp_gt(gt_times, gt_poses, t_i)
                 gj = interp_gt(gt_times, gt_poses, t_j)
@@ -325,14 +363,15 @@ def main(argv=None):
                     true_w.append(w)
                     continue
                 sig = np.sqrt(np.diag(np.linalg.inv(c.info)))
-                false_rows.append((c, err, gi, gj, sig, w))
+                false_rows.append((c, err, gi, gj, sig, w, rok, dec))
             if true_w:
                 print(
                     "  true closures gt-weighted chi2: "
                     f"median {np.median(true_w):.1f}, "
                     f"max {np.max(true_w):.1f} (n={len(true_w)})"
                 )
-            for c, err, gi, gj, sig, w in false_rows:
+            for c, err, gi, gj, sig, w, rok, dec in false_rows:
+                tag = "ridge-ok" if rok else "ridge-FALSE"
                 print(
                     f"  FALSE closure kf{c.i}->kf{c.j} "
                     f"err=({err[0]:+.2f},{err[1]:+.2f},"
@@ -340,7 +379,10 @@ def main(argv=None):
                     f"gt_dist={np.linalg.norm(gi[:2] - gj[:2]):.1f}m "
                     f"sigma=({sig[0]:.2f},{sig[1]:.2f},{sig[2]:.2f}) "
                     f"gt_chi2={w:.1f} "
-                    f"chi2={chi2_of[(c.i, c.j)]:.1f}"
+                    f"chi2={chi2_of[(c.i, c.j)]:.1f} "
+                    f"[{tag}: along={dec['along']:.2f}/"
+                    f"sig {dec['sigma_along']:.2f}, "
+                    f"cross={dec['cross']:.2f}]"
                 )
     return 0
 

@@ -75,6 +75,85 @@ class TestAcesReadiness:
         assert ls.min_line_length == 0.75
         assert ls.min_line_points == 10
 
+    def test_reference_gmapping_trajectories_parse(self):
+        """VERDICT r4 #7: the reference ships real GMapping result
+        trajectories in-tree (datasets/intel-lab/{30,45,60,180}pts.txt,
+        datasets/aces/aces-30pts.txt -- the paper Table I baseline
+        column). eval/relations.load_result must parse every one, so
+        the acc-table comparator regenerates the instant real
+        .relations files land (scripts/gen_acc_table.py trajectory
+        rows)."""
+        from sparse_gslam_tpu.eval.relations import load_result
+
+        ref_root = "/root/reference/src/sparse_gslam/datasets"
+        files = [
+            ("intel-lab", "30pts.txt", 1051),
+            ("intel-lab", "45pts.txt", 1051),
+            ("intel-lab", "60pts.txt", 1051),
+            ("intel-lab", "180pts.txt", 1051),
+            ("aces", "aces-30pts.txt", 440),
+            ("aces", "aces-60pts.txt", 440),
+        ]
+        for d, fname, n_lines in files:
+            path = os.path.join(ref_root, d, fname)
+            times, poses = load_result(path)
+            assert len(times) == n_lines, (fname, len(times))
+            assert poses.shape == (n_lines, 3)
+            assert np.isfinite(poses).all(), fname
+            # a real trajectory: finite extent, tens of meters
+            ext = poses[:, :2].max(0) - poses[:, :2].min(0)
+            assert 5.0 < max(ext) < 500.0, (fname, ext)
+
+    def test_gen_acc_table_trajectory_rows(self, tmp_path):
+        """The trajectory-row mode of scripts/gen_acc_table.py
+        end-to-end: with a .relations file present the FLASER
+        trajectory is scored in-process (paper-style baseline
+        column); without one it reports the parsed span."""
+        import subprocess
+        import sys as _sys
+
+        ref_root = "/root/reference/src/sparse_gslam/datasets"
+        gm = os.path.join(ref_root, "intel-lab", "30pts.txt")
+        out = subprocess.run(
+            [
+                _sys.executable, "scripts/gen_acc_table.py",
+                f"{tmp_path}:intel-lab:gmapping-30:{gm}",
+            ],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert out.returncode == 0, out.stderr
+        assert "parsed 1051 poses" in out.stdout
+        # now WITH ground truth: self-relations from the trajectory
+        # itself -> near-zero ATE proves the scoring path runs
+        from sparse_gslam_tpu.eval.relations import (
+            load_result, save_relations,
+        )
+        from sparse_gslam_tpu.utils import se2
+
+        times, poses = load_result(gm)
+        order = np.argsort(times)
+        times, poses = times[order], poses[order]
+        t1, t2, gt = [], [], []
+        for k in range(0, len(times) - 20, 40):
+            t1.append(times[k])
+            t2.append(times[k + 20])
+            gt.append(se2.relative(poses[k], poses[k + 20]))
+        save_relations(
+            str(tmp_path / "intel-lab.relations"),
+            np.asarray(t1), np.asarray(t2), np.asarray(gt),
+        )
+        out = subprocess.run(
+            [
+                _sys.executable, "scripts/gen_acc_table.py",
+                f"{tmp_path}:intel-lab:gmapping-30:{gm}",
+            ],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert out.returncode == 0, out.stderr
+        assert "0.0000 ±" in out.stdout, out.stdout
+
     def test_one_command_parity_run(self, aces_dir):
         from sparse_gslam_tpu.runner import main
 

@@ -90,6 +90,46 @@ class TestEndToEnd:
         assert stats.mean_frontend >= 0
 
 
+class TestLiveView:
+    def test_background_render_surface(self, sim_frames, tmp_path):
+        """Live visualization thread (visualizer.cpp:425-441
+        equivalent): renders maps + status at rate while frames
+        stream, files are atomically replaced and progress between
+        reads, and the thread stops cleanly."""
+        import json
+        import os
+        import time as _time
+
+        from sparse_gslam_tpu.eval.live_view import LiveVisualizer
+
+        d, sim, frames = sim_frames
+        slam, ls = small_configs()
+        sys_ = SlamSystem(slam, ls, enable_backend=True)
+        prefix = str(tmp_path / "lv")
+        live = LiveVisualizer(sys_, prefix, rate=4.0)
+        live.start()
+        seen_frames = []
+        try:
+            for k, fr in enumerate(frames[:260]):
+                with sys_.lock:
+                    sys_.process_frame(fr)
+                if k % 60 == 59:
+                    p = prefix + "_live_status.json"
+                    if os.path.exists(p):
+                        seen_frames.append(json.load(open(p))["frame"])
+                    _time.sleep(0.3)  # give the thread a render slot
+        finally:
+            live.stop(final=True)
+        assert live.renders >= 2
+        status = json.load(open(prefix + "_live_status.json"))
+        assert status["frame"] >= 260
+        assert status["keyframes"] > 5
+        assert os.path.exists(prefix + "_live_lm.png")
+        # progression was visible mid-run, not just at the end
+        assert len(seen_frames) >= 2
+        assert seen_frames[-1] > seen_frames[0]
+
+
 class TestPrewarm:
     def test_prewarm_compiles_without_error(self):
         from sparse_gslam_tpu.utils.config import SlamConfig

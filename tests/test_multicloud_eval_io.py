@@ -247,6 +247,63 @@ class TestClosurePR:
         assert abs(pr["precision"] - 1.0 / 3.0) < 1e-9
         assert pr["recall"] == 1.0  # the lone segment is detected
 
+    def test_ridge_aware_precision(self):
+        """VERDICT r4 #5: a closure whose error lies along its OWN
+        declared wide covariance axis is ridge-true; the same error
+        with a tight claimed covariance stays false; cross-ridge
+        error is never excused."""
+        from sparse_gslam_tpu.eval.closures import closure_pr
+        from sparse_gslam_tpu.utils import se2
+
+        t, poses = self._circle_gt()
+
+        def gt_at(time):
+            i = int(np.argmin(np.abs(t - time)))
+            return poses[i]
+
+        rel = se2.relative(gt_at(10.0), gt_at(70.0))
+        gi = gt_at(10.0)
+        # 1.2 m error along the world x axis, expressed in the i frame
+        c, s = np.cos(gi[2]), np.sin(gi[2])
+        d_world = np.array([1.2, 0.0])
+        d_i = np.array([c * d_world[0] + s * d_world[1],
+                        -s * d_world[0] + c * d_world[1]])
+        bad = rel.copy()
+        bad[:2] += d_i
+        # covariance wide along the SAME axis (sigma 0.8 m), tight
+        # across (0.05 m): error is ridge-in-band (1.2 < 2*0.8)
+        R = np.array([[c, -s], [s, c]])  # hmm: error frame = i frame
+        # express the wide axis in the i frame directly
+        axis = d_i / np.linalg.norm(d_i)
+        perp = np.array([-axis[1], axis[0]])
+        cov_t = 0.64 * np.outer(axis, axis) + 0.0025 * np.outer(
+            perp, perp
+        )
+        cov = np.zeros((3, 3))
+        cov[:2, :2] = cov_t
+        cov[2, 2] = 0.01
+        info_wide = np.linalg.inv(cov)
+        info_tight = np.linalg.inv(np.diag([0.01, 0.01, 0.01]))
+        # cross-ridge violation: same wide cov but error PERPENDICULAR
+        bad_cross = rel.copy()
+        bad_cross[:2] += 1.2 * perp
+        del R
+        closures = [
+            (10.0, 70.0, bad),
+            (10.0, 70.0, bad),
+            (10.0, 70.0, bad_cross),
+        ]
+        infos = [info_wide, info_tight, info_wide]
+        pr = closure_pr(
+            closures, t, poses, radius=1.0, match_radius=3.0,
+            min_time_sep=30.0, infos=infos,
+        )
+        assert pr["verdicts"] == [False, False, False]
+        assert pr["ridge_verdicts"] == [True, False, False]
+        assert abs(pr["precision_ridge"] - 1.0 / 3.0) < 1e-9
+        assert pr["ridge_rows"][0]["is_ridge"]
+        assert not pr["ridge_rows"][1]["is_ridge"]
+
     def test_no_closures_no_crash(self):
         from sparse_gslam_tpu.eval.closures import closure_pr
 
