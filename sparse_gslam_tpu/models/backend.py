@@ -90,6 +90,20 @@ class Submap:
     score_grid_np: object = None
     # same for pooled_grid (pin pre-gate bound lookups)
     pooled_np: object = None
+    # lazily-cached full (F, F) complex spectrum of score_grid (the
+    # FFT-free MXU matcher consumes it; built once per submap like
+    # Cartographer's precomputation grids at fix_submap,
+    # fast_correlative_scan_matcher_2d.cc:454-468; invalidated when
+    # rebuild_grids replaces the grids)
+    spectrum: object = None
+
+    def get_spectrum(self, fft_size: int):
+        if self.spectrum is None or self.spectrum.shape[-2] != fft_size:
+            self.spectrum = matching.grid_spectrum(
+                self.score_grid[None], int(fft_size),
+                int(self.score_grid.shape[0]),
+            )[0]
+        return self.spectrum
 
 
 @dataclasses.dataclass
@@ -462,9 +476,15 @@ class SubmapLoopCloser:
 
             # pad the candidate axis to a fixed bucket: with the
             # frozen rotation count above, the whole run compiles ONE
-            # fused-matcher shape
+            # fused-matcher shape. Per-submap grid spectra are cached
+            # on the Submap (fix_submap-style precompute) so the
+            # MXU exact stage pays no per-query spectrum build.
+            fft_sz = int(candidates[0][0].score_grid.shape[0]) + 64
             match_fn = _ft.partial(
-                matching.match_candidates_fused, c_bucket=16
+                matching.match_candidates_fused, c_bucket=16,
+                spectra_list=[
+                    c[0].get_spectrum(fft_sz) for c in candidates
+                ],
             )
         # search centered on the estimated relative pose: shift each
         # candidate's origin by its t_est (see _match_snapshot)
@@ -1429,6 +1449,7 @@ class SubmapLoopCloser:
             sm.high_origin = hi_grid.origin
             sm.score_grid_np = None
             sm.pooled_np = None
+            sm.spectrum = None
         self._pin_stack = None
 
     # --------------------------------------------------------------------

@@ -61,6 +61,38 @@ class TestFusedMatch:
         # covariances agree to window-clamp tolerance
         np.testing.assert_allclose(a[3], b[3], rtol=0.05, atol=1e-4)
 
+    def test_nudft_equals_fft_exact_stage(self, monkeypatch):
+        """The FFT-free MXU correlator (VERDICT r4 #1) returns the
+        same result as the FFT path: same candidate, score to 1e-4,
+        pose exactly, covariance to fp tolerance -- with and without
+        pre-cached spectra."""
+        sg, pooled, origins, th0, pts, spec, stride = _case()
+        monkeypatch.setenv("SLAM_MATCH_EXACT", "fft")
+        a = matching.match_candidates_fused(
+            sg, pooled, origins, th0, pts, spec, 0.6, stride, K=64
+        )
+        monkeypatch.setenv("SLAM_MATCH_EXACT", "nudft")
+        b = matching.match_candidates_fused(
+            sg, pooled, origins, th0, pts, spec, 0.6, stride, K=64
+        )
+        size = sg[0].shape[0]
+        fft_size = size + 64
+        spectra = [
+            matching.grid_spectrum(g[None], fft_size, size)[0]
+            for g in sg
+        ]
+        c = matching.match_candidates_fused(
+            sg, pooled, origins, th0, pts, spec, 0.6, stride, K=64,
+            spectra_list=spectra,
+        )
+        assert a[0] == b[0] == c[0]
+        assert abs(a[1] - b[1]) < 1e-4
+        assert abs(a[1] - c[1]) < 1e-4
+        np.testing.assert_allclose(a[2], b[2], atol=1e-5)
+        np.testing.assert_allclose(a[2], c[2], atol=1e-5)
+        np.testing.assert_allclose(a[3], b[3], rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(a[3], c[3], rtol=1e-3, atol=1e-5)
+
     def test_miss_below_min_score(self):
         sg, pooled, origins, th0, pts, spec, stride = _case()
         a = matching.match_candidates_pruned(
