@@ -58,7 +58,89 @@ def main():
             f"  {n} devices: {ips:8.1f} iters/s  efficiency {eff:.2f}",
             flush=True,
         )
-    print(json.dumps({"scaling": out}), flush=True)
+
+    # -- collective-traffic model (VERDICT r4 #6): projected pod
+    # efficiency from single-device calibration + the psum payload --
+    modeled = model_section(g, args)
+    print(json.dumps({"scaling": out, "modeled": modeled}), flush=True)
+
+
+def model_section(g, args, n_blocks=128, iterations=20):
+    """Calibrate (t_int, t_sep) on the available backend and print the
+    modeled pod-scale efficiency. t_sep is measured directly (the
+    replicated separator Cholesky+solve at this graph's true separator
+    size); t_int = measured single-device iteration minus t_sep."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparse_gslam_tpu.parallel import multihost
+    from sparse_gslam_tpu.parallel.dist_solver import (
+        optimize_pose_graph_blocked,
+        split_graph,
+    )
+    from sparse_gslam_tpu.parallel.partition import make_partition
+
+    plan = make_partition(
+        g.poses.shape[0], n_blocks, np.asarray(g.clo_i),
+        np.asarray(g.clo_j), np.asarray(g.clo_valid),
+    )
+    bg, sg = split_graph(g, plan)
+    S = int(sg.sep_valid.shape[0])
+    f = jax.jit(
+        lambda b, s: optimize_pose_graph_blocked(b, s, 1.0, iterations)
+    )
+    jax.block_until_ready(f(bg, sg))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready(f(bg, sg))
+    t_iter = (time.perf_counter() - t0) / 3 / iterations
+
+    # separator stage alone: dense (3S,3S) SPD solve, replicated on
+    # every device in the sharded version
+    A = jnp.eye(3 * S, dtype=jnp.float32) * 4.0 + 0.1
+    b = jnp.ones((3 * S,), jnp.float32)
+    g_sep = jax.jit(
+        lambda A, b: jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(A, lower=True), b
+        )
+    )
+    jax.block_until_ready(g_sep(A, b))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        jax.block_until_ready(g_sep(A, b))
+    t_sep = (time.perf_counter() - t0) / 5
+    t_int = max(t_iter - t_sep, 0.0)
+    sep_bytes = 4.0 * (9.0 * S * S + 3.0 * S)  # f32 psum payload
+    print(
+        f"model calibration ({jax.devices()[0].platform}): "
+        f"t_iter {t_iter*1e3:.2f} ms = t_int {t_int*1e3:.2f} + "
+        f"t_sep {t_sep*1e3:.2f}; S={S} separators -> psum payload "
+        f"{sep_bytes/1e6:.2f} MB/iter",
+        flush=True,
+    )
+    modeled = {}
+    for n, (tn, eff) in multihost.model_efficiency(
+        t_int, t_sep, sep_bytes
+    ).items():
+        hosts = max(1, -(-n // 8))
+        print(
+            f"  modeled {n:3d} chips ({hosts} host"
+            f"{'s' if hosts > 1 else ''}): {iterations_per_s(tn):8.1f} "
+            f"iters/s  efficiency {eff:.2f}",
+            flush=True,
+        )
+        modeled[n] = {
+            "t_iter_ms": round(tn * 1e3, 3),
+            "efficiency": round(eff, 3),
+        }
+    return modeled
+
+
+def iterations_per_s(t_iter_s):
+    return 1.0 / max(t_iter_s, 1e-12)
 
 
 if __name__ == "__main__":

@@ -52,6 +52,51 @@ def block_mesh(n_devices: int | None = None):
     return Mesh(np.array(devs), ("blocks",))
 
 
+def model_efficiency(
+    t_int_s: float,
+    t_sep_s: float,
+    sep_bytes: float,
+    device_counts=(2, 4, 8, 16, 32, 64),
+    chips_per_host: int = 8,
+    bw_ici: float = 100e9,
+    bw_dcn: float = 25e9,
+    lat_ici: float = 1e-6,
+    lat_dcn: float = 50e-6,
+):
+    """Projected scaling efficiency of the partitioned GN solver from
+    a collective-traffic model (VERDICT r4 #6): the virtual-CPU-mesh
+    table measures core oversubscription, not the algorithm, so this
+    models what pod hardware would do from first principles +
+    single-chip calibration.
+
+    Per GN iteration the sharded solver (optimize_pose_graph_sharded)
+    does: interior block work (perfectly partitioned -> t_int/n),
+    the replicated separator solve (t_sep, constant), one psum of the
+    dense (3S, 3S)+ (3S) separator system (`sep_bytes`), and one
+    3-float ppermute (latency only). psum cost uses the standard
+    ring reduce-scatter + all-gather model, 2(n-1)/n * bytes / BW,
+    over the slowest traversed fabric: ICI within a host
+    (v5e: 4 links x 400 Gbps/chip; ~100 GB/s effective ring BW),
+    DCN between hosts (~200 Gbps NIC -> 25 GB/s), with per-collective
+    latency floors. Returns {n: (t_iter_s, efficiency)} where
+    efficiency = t_1 / (n * t_n)."""
+    import math
+
+    t1 = t_int_s + t_sep_s
+    out = {}
+    for n in device_counts:
+        hosts = max(1, math.ceil(n / chips_per_host))
+        comm = 2.0 * (n - 1) / n * sep_bytes / bw_ici
+        comm += lat_ici * max(1.0, math.log2(max(n, 2)))
+        if hosts > 1:
+            # the inter-host stage of the hierarchical reduction
+            comm += 2.0 * (hosts - 1) / hosts * sep_bytes / bw_dcn
+            comm += lat_dcn * max(1.0, math.log2(hosts))
+        tn = t_int_s / n + t_sep_s + comm
+        out[n] = (tn, t1 / (n * tn))
+    return out
+
+
 def scaling_report(g, phi: float, device_counts=(1, 2, 4, 8),
                    iterations: int = 20, reps: int = 3,
                    n_blocks: int = 128):

@@ -249,3 +249,47 @@ class TestGNCAndRefine:
         np.testing.assert_allclose(
             np.asarray(gs.poses), np.asarray(gb.poses), atol=1e-8
         )
+
+
+class TestCollectiveTrafficModel:
+    def test_model_efficiency_shape_and_physics(self):
+        """The projected-efficiency model (VERDICT r4 #6): efficiency
+        is in (0, 1], decreases with chip count once communication /
+        the replicated separator dominate, iteration time never
+        increases by adding chips while comm is negligible, and
+        crossing the host boundary (n > chips_per_host) adds a DCN
+        penalty."""
+        from sparse_gslam_tpu.parallel.multihost import model_efficiency
+
+        # interior-dominated regime, tiny payload: near-ideal scaling
+        out = model_efficiency(
+            t_int_s=10e-3, t_sep_s=1e-6, sep_bytes=1e3,
+            device_counts=(2, 4, 8),
+        )
+        assert out[2][1] > 0.95
+        assert out[8][1] > 0.9
+        assert out[2][0] > out[4][0] > out[8][0]  # time keeps falling
+
+        # replicated-separator-dominated: efficiency ~ 1/n
+        out = model_efficiency(
+            t_int_s=1e-3, t_sep_s=10e-3, sep_bytes=1e3,
+            device_counts=(2, 8),
+        )
+        assert out[8][1] < 0.2
+
+        # DCN penalty at the host boundary: same chip count, huge
+        # payload -> two hosts slower than one
+        big = 100e6
+        one_host = model_efficiency(
+            t_int_s=10e-3, t_sep_s=1e-3, sep_bytes=big,
+            device_counts=(8,), chips_per_host=8,
+        )[8]
+        two_host = model_efficiency(
+            t_int_s=10e-3, t_sep_s=1e-3, sep_bytes=big,
+            device_counts=(8,), chips_per_host=4,
+        )[8]
+        assert two_host[0] > one_host[0]
+        for n, (t, e) in model_efficiency(
+            1e-3, 1e-4, 1e6
+        ).items():
+            assert 0.0 < e <= 1.0 and t > 0.0
