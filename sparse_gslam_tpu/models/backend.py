@@ -1655,7 +1655,11 @@ class SubmapLoopCloser:
             clo_i[k] = min(c.i, n - 1)
             clo_j[k] = min(c.j, n - 1)
             clo_meas[k] = c.meas
-            clo_info[k] = c.info
+            # exact symmetry matters downstream: covariance inversion
+            # leaves ~1e-5 relative asymmetry that the Schur solver's
+            # one-triangle Cholesky turns into NaN (dist_solver
+            # _eq_chol_solve docstring)
+            clo_info[k] = 0.5 * (c.info + c.info.T)
             # an edge whose endpoint the chain has not reached yet
             # (local edges accumulate ahead of the chain; they activate
             # once extend_chain covers them)
@@ -1783,8 +1787,34 @@ class SubmapLoopCloser:
             return
         self._gate_consistent_loops()
         g = self._build_pg_data()
+        if os.environ.get("SLAM_CHECK_FINITE"):
+            for fname in g._fields:
+                a = np.asarray(getattr(g, fname))
+                if a.dtype.kind == "f" and not np.isfinite(a).all():
+                    raise FloatingPointError(
+                        f"pose-graph solve INPUT {fname} non-finite at "
+                        f"{np.argwhere(~np.isfinite(a))[:4].tolist()}"
+                    )
         g_opt = self._solve(g, iterations, gnc_scale)
         new_poses = np.asarray(g_opt.poses)
+        if os.environ.get("SLAM_CHECK_FINITE"):
+            if not np.isfinite(new_poses[: len(self.pg_poses)]).all():
+                dump = os.environ.get(
+                    "SLAM_NAN_DUMP", "/tmp/pg_nan_case.npz"
+                )
+                np.savez_compressed(
+                    dump,
+                    iterations=iterations,
+                    gnc_scale=gnc_scale,
+                    **{
+                        f: np.asarray(getattr(g, f)) for f in g._fields
+                    },
+                )
+                raise FloatingPointError(
+                    "pose-graph solve OUTPUT non-finite "
+                    f"(n={len(self.pg_poses)}, finite inputs; "
+                    f"case dumped to {dump})"
+                )
         for k in range(len(self.pg_poses)):
             self.pg_poses[k] = new_poses[k]
 

@@ -9,6 +9,7 @@ streams to .ftime/.btime like the reference (log_runner.cpp:146-158).
 """
 from __future__ import annotations
 
+import os
 import threading
 import time as _time
 
@@ -121,9 +122,33 @@ class SlamSystem:
                 self.backend_compiled.append(compilewatch.total() > c0)
                 if self.timing:
                     self.timing.backend(bt, self.backend_compiled[-1])
+            if os.environ.get("SLAM_CHECK_FINITE"):
+                self._check_finite()
         if self.timing:
             self.timing.dataset(frame.time)
         self.frame_idx += 1
+
+    # ------------------------------------------------------------------
+    def _check_finite(self):
+        """SLAM_CHECK_FINITE=1 diagnostic: fail fast at the FIRST
+        frame where any estimate goes non-finite, naming the state
+        that broke (NaNs otherwise surface only minutes later as
+        eigh-nonconvergence in closure covariance handling)."""
+        est = self.frontend.estimates()
+        if len(est) and not np.isfinite(est).all():
+            bad = int(np.argwhere(~np.isfinite(est).all(axis=1))[0])
+            raise FloatingPointError(
+                f"frame {self.frame_idx}: keyframe estimate {bad} "
+                f"non-finite: {est[bad]}"
+            )
+        if self.backend is not None and self.backend.pg_poses:
+            pg = np.stack(self.backend.pg_poses)
+            if not np.isfinite(pg).all():
+                bad = int(np.argwhere(~np.isfinite(pg).all(axis=1))[0])
+                raise FloatingPointError(
+                    f"frame {self.frame_idx}: pose-graph vertex {bad} "
+                    f"non-finite: {pg[bad]}"
+                )
 
     # ------------------------------------------------------------------
     def run_realtime(self, frames, rate: float = 1.0):

@@ -122,10 +122,32 @@ def split_graph(g: PoseGraphData, plan: PartitionPlan):
 
 def _eq_chol_solve(Amat, rhs):
     """SPD solve with Jacobi equilibration (f32-stable Cholesky).
-    rhs may be a vector or matrix (columns)."""
+    rhs may be a vector or matrix (columns).
+
+    The dtype-scaled relative ridge (equilibrated diagonal is exactly
+    1; 8*eps = ~1e-6 in f32, ~2e-15 in f64): the separator Schur
+    complement Hss - sum His A^-1 His^T is formed by floating
+    subtraction and can come out marginally indefinite when a sharp
+    closure pushes cond(H) toward 1/eps -- without the ridge the f32
+    Cholesky emits NaN and permanently corrupts every pose-graph
+    vertex (first seen at sim-office frame 575 on TPU, caught by
+    SLAM_CHECK_FINITE=1). The ridge MUST scale with eps: a flat 1e-6
+    on the f64 path damps the long-chain compliant modes (equilibrated
+    eigenvalues ~1e-7) and measured sim-killian 0.22 -> 0.42 m.
+
+    Symmetrization first: closure information matrices arrive with
+    ~1e-5 relative asymmetry (f32 covariance assembly noise amplified
+    by the inversion), which propagates into the separator system.
+    cho_factor reads ONE triangle; when the asymmetry exceeds the
+    smallest equilibrated eigenvalue, that triangle is indefinite and
+    the factorization emits NaN even in f64 (the actual frame-575
+    root cause -- numpy's lower-triangle cholesky masked it)."""
+    Amat = 0.5 * (Amat + Amat.T)
     d = jnp.clip(jnp.diagonal(Amat), 1e-20, None)
     s = jax.lax.rsqrt(d)
     A_eq = Amat * s[:, None] * s[None, :]
+    ridge = 8.0 * jnp.finfo(A_eq.dtype).eps
+    A_eq = A_eq + ridge * jnp.eye(A_eq.shape[0], dtype=A_eq.dtype)
     chol = jax.scipy.linalg.cho_factor(A_eq)
     if rhs.ndim == 1:
         return jax.scipy.linalg.cho_solve(chol, rhs * s) * s
