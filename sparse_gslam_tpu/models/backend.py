@@ -168,6 +168,8 @@ class SubmapLoopCloser:
         # device-stacked pooled grids for the batched pin screen
         # (accelerator path of _keyframe_edges); None = rebuild
         self._pin_stack = None
+        self._spectra_stack = None
+        self._high_stack = None
         # optional jax.sharding.Mesh with a "blocks" axis: when set,
         # every pose-graph solve runs the shard_map multi-chip solver
         # (parallel/dist_solver.optimize_pose_graph_sharded)
@@ -278,6 +280,8 @@ class SubmapLoopCloser:
         # (_keyframe_edges); invalidate the stacked pooled-grid cache
         # so it rebuilds with the new submap included
         self._pin_stack = None
+        self._spectra_stack = None
+        self._high_stack = None
         self.last_pose_idx = max(0, mid - cfg.submap_overlap_poses)
         if cfg.local_refine:
             _t = _time.perf_counter()
@@ -1046,17 +1050,18 @@ class SubmapLoopCloser:
         return made
 
     def _kf_edges_device(self, pending, stats) -> int:
-        """Accelerator path: the bound pre-gate runs as ONE batched
-        device call over the stacked pooled grids
-        (matching.pin_bounds_batch), and the few passers' window
-        scores come from the device FFT correlator -- no submap grid
-        is ever pulled to the host (a blocking D2H through the
-        remote-TPU tunnel costs ~1-2 s per grid; 76+ s per full run
-        in the round-3 profile). Rotation set is frozen from
-        cfg.range_max (like _match_snapshot) so exactly one shape of
-        each kernel ever compiles; the superset of rotations makes
-        the search slightly MORE thorough than the host path's
-        per-query angular step."""
+        """Accelerator path, ONE device program per chunk (VERDICT r4
+        #4): matching.pin_eval_batch computes the exhaustive window
+        scores (FFT-free MXU correlator on the cached per-submap
+        spectra), argmax, volume covariance, high-res GN refinement
+        and occupancy overlap for up to 8 pins at once and returns one
+        packed (B, 26) blob -- a single ~1 KB transfer. The previous
+        structure (batch bound pre-gate, then one window-correlation
+        call PLUS one refinement call per passer) cost 1 + 2*passers
+        RPC round-trips per tick at ~35 ms each through the remote
+        tunnel. Host side keeps only the accept gates, identical to
+        _pin_accept. Rotation set is frozen from cfg.range_max (like
+        _match_snapshot) so exactly one kernel shape ever compiles."""
         cfg = self.config
         import time as _time
 
@@ -1067,84 +1072,128 @@ class SubmapLoopCloser:
             cfg.kf_search_window, cfg.kf_angular_window,
             cfg.range_max, res,
         )
-        stride = 1 << (max(1, cfg.branch_and_bound_depth) - 1)
-        use_bounds = stride >= 2 * spec.n_linear
         R = 2 * spec.n_angular + 1
         ks = np.arange(R) - spec.n_angular
         size = self.spec.size
-        fft_size = size + 64  # NOT +128: 512^2 hits the degraded TPU
-        # FFT path (see matching._FFT_MAX_BATCH note)
+        fft_size = size + 64
         _t = _time.perf_counter()
-        stack = self._get_pin_stack() if use_bounds else None
+        spectra = self._get_spectra_stack(fft_size)
+        high_stack, high_origins = self._get_high_stack()
         self.prof["kf_stack"] += _time.perf_counter() - _t
         made = 0
-        Kp = 16
-        for lo in range(0, len(pending), Kp):
-            chunk = pending[lo : lo + Kp]
+        B = 8
+        for lo in range(0, len(pending), B):
+            chunk = pending[lo : lo + B]
             _t = _time.perf_counter()
-            if use_bounds:
-                pts = np.zeros((Kp, 512, 2), np.float32)
-                val = np.zeros((Kp, 512), bool)
-                orgs = np.zeros((Kp, 2), np.float32)
-                ths = np.zeros((Kp, R), np.float32)
-                ids = np.zeros(Kp, np.int32)
-                for k, (j, smi, query, seed) in enumerate(chunk):
-                    pts[k, : len(query)] = query
-                    val[k, : len(query)] = True
-                    orgs[k] = (
-                        np.asarray(self.submaps[smi].origin, np.float64)
-                        - seed[:2]
-                    )
-                    ths[k] = seed[2] + ks * spec.angular_step
-                    ids[k] = smi
-                bounds = np.asarray(
-                    matching.pin_bounds_batch(
-                        stack, jnp.asarray(ids), jnp.asarray(orgs),
-                        jnp.asarray(pts), jnp.asarray(val),
-                        jnp.asarray(ths), res, spec.n_linear,
-                        extra=stride < 2 * spec.n_linear + 1,
-                    )
-                )
-            else:
-                bounds = np.full(len(chunk), np.inf)
-            self.prof["kf_bounds"] += _time.perf_counter() - _t
+            pts = np.zeros((B, 512, 2), np.float32)
+            val = np.zeros((B, 512), bool)
+            orgs = np.zeros((B, 2), np.float32)
+            seeds = np.zeros((B, 3), np.float32)
+            ths = np.zeros((B, R), np.float32)
+            ids = np.zeros(B, np.int32)
+            live = np.zeros(B, bool)
             for k, (j, smi, query, seed) in enumerate(chunk):
-                if bounds[k] < cfg.kf_min_score:
-                    stats["bound"] += 1
-                    continue
-                _t = _time.perf_counter()
+                pts[k, : len(query)] = query
+                val[k, : len(query)] = True
+                orgs[k] = (
+                    np.asarray(self.submaps[smi].origin, np.float64)
+                    - seed[:2]
+                )
+                seeds[k] = seed
+                ths[k] = seed[2] + ks * spec.angular_step
+                ids[k] = smi
+                live[k] = True
+            out = np.asarray(
+                matching.pin_eval_batch(
+                    spectra, high_stack, high_origins,
+                    jnp.asarray(ids), jnp.asarray(orgs),
+                    jnp.asarray(seeds), jnp.asarray(pts),
+                    jnp.asarray(val), jnp.asarray(ths),
+                    jnp.asarray(live), resolution=res,
+                    n_linear=int(spec.n_linear), size=int(size),
+                    fft_size=int(fft_size),
+                ),
+                dtype=np.float64,
+            )
+            self.prof["kf_window"] += _time.perf_counter() - _t
+            _t = _time.perf_counter()
+            for k, (j, smi, query, seed) in enumerate(chunk):
                 sm = self.submaps[smi]
-                ptsb = np.zeros((512, 2), np.float32)
-                ptsb[: len(query)] = query
-                validb = np.arange(512) < len(query)
-                thetas = (seed[2] + ks * spec.angular_step).astype(
-                    np.float64
+                refined, cov, score, why = self._pin_accept_packed(
+                    out[k], spec, cfg.kf_min_score,
+                    cfg.kf_min_overlap, cfg.kf_refine_sigma_xy,
+                    cfg.kf_refine_sigma_th,
                 )
-                scores = np.asarray(
-                    matching.correlate_rotations(
-                        sm.score_grid,
-                        jnp.asarray(
-                            np.asarray(sm.origin, np.float64)
-                            - seed[:2],
-                            jnp.float32,
-                        ),
-                        jnp.asarray(ptsb), jnp.asarray(validb),
-                        jnp.asarray(thetas, jnp.float32), res,
-                        int(spec.n_linear), int(size), int(fft_size),
-                    ),
-                    dtype=np.float64,
-                )
-                self.prof["kf_window"] += _time.perf_counter() - _t
-                _t = _time.perf_counter()
-                refined, cov, score, why = self._pin_accept(
-                    scores, thetas, spec, seed, sm.high_res,
-                    sm.high_origin, 0.05, query, cfg.kf_min_overlap,
-                    None, None, res,
-                )
-                self.prof["kf_accept"] += _time.perf_counter() - _t
                 made += self._pin_finish(j, sm, query, refined, cov,
                                          score, why, stats)
+            self.prof["kf_accept"] += _time.perf_counter() - _t
         return made
+
+    def _pin_accept_packed(self, row, spec, min_score, min_overlap,
+                           floor_xy, floor_th):
+        """Accept gates over one pin_eval_batch row (the same logic as
+        _pin_accept, operating on precomputed device outputs).
+        Row layout: [score, pose0(3), wcov(9), refined(3), censi(9),
+        overlap]."""
+        sc = float(row[0])
+        if sc < min_score:
+            return None, None, None, "score"
+        pose0 = row[1:4]
+        wcov = row[4:13].reshape(3, 3)
+        refined = row[13:16].copy()
+        censi = row[16:25].reshape(3, 3)
+        overlap = float(row[25])
+        if min_overlap > 0.0 and overlap < min_overlap:
+            return None, None, None, "score"
+        if (
+            np.linalg.norm(refined[:2] - pose0[:2]) > 0.3
+            or abs(se2.wrap_angle(refined[2] - pose0[2])) > 0.1
+        ):
+            return None, None, None, "corr"
+        cov = self._cov_hybrid(
+            censi, wcov, spec.angular_step, floor_xy, floor_th,
+        )
+        return refined, cov, sc, None
+
+    def _get_spectra_stack(self, fft_size: int):
+        """Pow2-padded device stack of the cached per-submap spectra
+        (rebuilt lazily when the submap set changes)."""
+        if (
+            self._spectra_stack is None
+            or self._spectra_stack[0] != len(self.submaps)
+        ):
+            import jax.numpy as jnp
+
+            M = 1
+            while M < len(self.submaps):
+                M *= 2
+            arrs = [sm.get_spectrum(fft_size) for sm in self.submaps]
+            arrs += [arrs[-1]] * (M - len(arrs))
+            self._spectra_stack = (len(self.submaps), jnp.stack(arrs))
+        return self._spectra_stack[1]
+
+    def _get_high_stack(self):
+        """Pow2-padded device stack of high-res grids + origins."""
+        if (
+            self._high_stack is None
+            or self._high_stack[0] != len(self.submaps)
+        ):
+            import jax.numpy as jnp
+
+            M = 1
+            while M < len(self.submaps):
+                M *= 2
+            grids = [sm.high_res for sm in self.submaps]
+            origs = [
+                jnp.asarray(sm.high_origin, jnp.float32)
+                for sm in self.submaps
+            ]
+            grids += [grids[-1]] * (M - len(grids))
+            origs += [origs[-1]] * (M - len(origs))
+            self._high_stack = (
+                len(self.submaps), jnp.stack(grids), jnp.stack(origs),
+            )
+        return self._high_stack[1], self._high_stack[2]
 
     def _get_pin_stack(self):
         """Pow2-padded device stack of the pooled pin-screen grids
@@ -1451,6 +1500,8 @@ class SubmapLoopCloser:
             sm.pooled_np = None
             sm.spectrum = None
         self._pin_stack = None
+        self._spectra_stack = None
+        self._high_stack = None
 
     # --------------------------------------------------------------------
     def rematch_all(self) -> int:

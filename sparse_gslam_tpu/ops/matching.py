@@ -713,6 +713,138 @@ def score_pose(
     return jnp.sum(jnp.where(point_valid, vals, 0.0)) / n
 
 
+def _volume_cov_jnp(scores, thetas, init_theta, resolution,
+                    n_linear: int):
+    """In-jit port of score_volume_cov (same band-weighted moments)."""
+    smax = jnp.max(scores)
+    smin = jnp.min(scores)
+    delta = jnp.maximum(0.05, 0.15 * (smax - smin))
+    w = jnp.clip(scores - (smax - delta), 0.0, None) + 1e-9
+    d = (jnp.arange(scores.shape[1]) - n_linear) * resolution
+    X = jnp.stack(
+        jnp.broadcast_arrays(
+            d[None, :, None],
+            d[None, None, :],
+            (thetas - init_theta)[:, None, None],
+        ),
+        axis=-1,
+    ).reshape(-1, 3)
+    sflat = w.reshape(-1)
+    ssum = jnp.sum(sflat)
+    u = jnp.sum(X * sflat[:, None], axis=0) / ssum
+    K = jnp.einsum("ni,nj,n->ij", X, X, sflat) / ssum
+    cov = K - jnp.outer(u, u)
+    step = (
+        thetas[1] - thetas[0]
+        if thetas.shape[0] > 1
+        else jnp.asarray(0.01, cov.dtype)
+    )
+    return cov + jnp.diag(
+        jnp.stack(
+            [
+                jnp.asarray((2.5 * resolution) ** 2, cov.dtype),
+                jnp.asarray((2.5 * resolution) ** 2, cov.dtype),
+                (2.5 * step) ** 2,
+            ]
+        )
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "resolution", "n_linear", "size", "fft_size", "high_res",
+        "iterations",
+    ),
+)
+def pin_eval_batch(
+    spectra,  # (Msub, F, F2) cached grid spectra (grid_spectrum)
+    high_stack,  # (Msub, G2, G2) high-res probability grids
+    high_origins,  # (Msub, 2)
+    ids,  # (B,) submap index per pin query
+    origins,  # (B, 2) score-grid origin minus seed translation
+    seeds,  # (B, 3) seed pose per query
+    pts,  # (B, N, 2)
+    valid,  # (B, N)
+    thetas,  # (B, R) rotation set per query
+    live,  # (B,) padding mask
+    resolution: float,
+    n_linear: int,
+    size: int,
+    fft_size: int,
+    high_res: float = 0.05,
+    iterations: int = 10,
+):
+    """ONE device program for a whole chunk of per-keyframe pins
+    (VERDICT r4 #4 one-program backend tick): exhaustive window scores
+    via the FFT-free MXU correlator on the cached spectra, centered
+    argmax, band-weighted volume covariance, high-res GN refinement +
+    Censi covariance + occupancy overlap -- everything the host accept
+    logic (models/backend._pin_accept) needs, packed into one (B, 26)
+    blob = ONE ~2 KB transfer, replacing the previous per-passer
+    window-correlation + refinement round-trips (each ~35 ms of RPC
+    floor through the remote tunnel)."""
+    B, R = thetas.shape
+    W = 2 * n_linear + 1
+    n_valid = jnp.maximum(jnp.sum(valid, axis=1), 1).astype(jnp.float32)
+
+    def cells_one(p, th, org):
+        return _plane_cells(p, th, jnp.broadcast_to(org, (R, 2)),
+                            resolution)
+
+    cx, cy = jax.vmap(cells_one)(pts, thetas, origins)  # (B, R, N)
+    Fg = spectra[ids]  # (B, F, F2)
+
+    def score_one(cxb, cyb, vb, nvb, Fgb):
+        return _corr_planes_nudft(
+            jnp.broadcast_to(Fgb[None], (R,) + Fgb.shape), cxb, cyb,
+            vb, nvb, n_linear, size, fft_size,
+        )
+
+    scores = jax.vmap(score_one)(cx, cy, valid, n_valid, Fg)
+    # (B, R, W, W)
+
+    d = jnp.arange(W) - n_linear
+    r2 = (d[:, None] ** 2 + d[None, :] ** 2).astype(jnp.float32)
+
+    def finish_one(sc_b, th_b, seed_b, id_b, pts_b, val_b):
+        m = jnp.max(sc_b)
+        flat = jnp.argmax(
+            jnp.where(
+                sc_b >= m - SCORE_NOISE_BAND, -r2[None], -jnp.inf
+            ).reshape(-1)
+        )
+        k = flat // (W * W)
+        rem = flat % (W * W)
+        oi = rem // W - n_linear
+        oj = rem % W - n_linear
+        best = sc_b.reshape(-1)[flat]
+        pose0 = jnp.stack(
+            [
+                oi.astype(jnp.float32) * resolution + seed_b[0],
+                oj.astype(jnp.float32) * resolution + seed_b[1],
+                th_b[k],
+            ]
+        )
+        wcov = _volume_cov_jnp(sc_b, th_b, seed_b[2], resolution,
+                               n_linear)
+        refined, censi, probs = refine_pose_cov(
+            high_stack[id_b], high_origins[id_b], high_res, pts_b,
+            val_b, pose0, iterations=iterations,
+        )
+        nv = jnp.maximum(jnp.sum(val_b), 1).astype(jnp.float32)
+        overlap = jnp.sum((probs > 0.55) & val_b) / nv
+        return jnp.concatenate(
+            [
+                best[None], pose0, wcov.reshape(-1), refined,
+                censi.reshape(-1), overlap[None],
+            ]
+        )
+
+    out = jax.vmap(finish_one)(scores, thetas, seeds, ids, pts, valid)
+    return jnp.where(live[:, None], out, 0.0)  # (B, 26)
+
+
 # ---------------------------------------------------------------------------
 # batched candidate matching: the reference fans one thread per
 # candidate submap (submap_loop_closer.cpp:158-162 ctpl pool); here the

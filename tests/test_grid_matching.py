@@ -754,3 +754,133 @@ class TestPinBoundsBatch:
             )
         )
         np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
+class TestPinEvalBatch:
+    """One-program pin evaluator (matching.pin_eval_batch, VERDICT r4
+    #4): its packed outputs must reproduce the piecewise path --
+    correlate_window_host window scores, score_volume_cov,
+    refine_pose_cov, overlap -- per pin."""
+
+    def test_matches_piecewise_path(self):
+        rng = np.random.default_rng(5)
+        n_linear, res = 8, 0.1
+        size, fft_size = 128, 192
+        high_size, high_res = 256, 0.05
+        M = 2
+        score_grids, highs, high_origins = [], [], []
+        for m in range(M):
+            probs = np.full((size, size), 0.15, np.float32)
+            for _ in range(5):
+                x0, y0 = rng.integers(20, size - 20, 2)
+                ln = int(rng.integers(30, 70))
+                if rng.random() < 0.5:
+                    probs[x0 : min(x0 + ln, size - 1), y0] = 0.9
+                else:
+                    probs[x0, y0 : min(y0 + ln, size - 1)] = 0.9
+            score_grids.append(probs)
+            # matching high-res grid: same walls at 2x resolution
+            hi = np.full((high_size, high_size), 0.15, np.float32)
+            hi[::2, ::2] = probs[: high_size // 2, : high_size // 2]
+            hi = np.maximum(hi, np.roll(hi, 1, 0))
+            hi = np.maximum(hi, np.roll(hi, 1, 1))
+            highs.append(hi)
+            high_origins.append(np.array([-6.4, -6.4], np.float32))
+        spectra = jnp.stack(
+            [
+                matching.grid_spectrum(
+                    jnp.asarray(g)[None], fft_size, size
+                )[0]
+                for g in score_grids
+            ]
+        )
+        origin = np.array([-6.4, -6.4])
+
+        B, N, R = 3, 80, 9
+        pts = np.zeros((B, N, 2), np.float32)
+        val = np.zeros((B, N), bool)
+        orgs = np.zeros((B, 2), np.float32)
+        seeds = np.zeros((B, 3), np.float32)
+        ths = np.zeros((B, R), np.float32)
+        ids = np.asarray([0, 1, 0], np.int32)
+        live = np.ones(B, bool)
+        step = 0.02
+        for k in range(B):
+            g = score_grids[ids[k]]
+            occ = np.argwhere(g > 0.7)
+            # interior cells only: a point whose cell leaves the grid
+            # at SOME window offset is scored per-offset by the host
+            # reference but dropped with a uniform PMIN correction by
+            # both device paths (the documented correlate_rotations
+            # approximation) -- not the behavior under test here
+            occ = occ[(occ > 30).all(1) & (occ < 96).all(1)]
+            sel = rng.choice(len(occ), size=60, replace=True)
+            p = origin[None] + (occ[sel] + 0.5) * res
+            pts[k, :60] = p + rng.normal(0, 0.01, p.shape)
+            val[k, :60] = True
+            seeds[k] = [
+                rng.uniform(-0.2, 0.2), rng.uniform(-0.2, 0.2), 0.0,
+            ]
+            orgs[k] = origin - seeds[k, :2]
+            ths[k] = seeds[k, 2] + (np.arange(R) - R // 2) * step
+        out = np.asarray(
+            matching.pin_eval_batch(
+                spectra, jnp.stack([jnp.asarray(h) for h in highs]),
+                jnp.asarray(np.stack(high_origins)),
+                jnp.asarray(ids), jnp.asarray(orgs),
+                jnp.asarray(seeds), jnp.asarray(pts),
+                jnp.asarray(val), jnp.asarray(ths),
+                jnp.asarray(live), resolution=res,
+                n_linear=n_linear, size=size, fft_size=fft_size,
+                high_res=high_res,
+            ),
+            dtype=np.float64,
+        )
+        assert out.shape == (B, 26)
+        for k in range(B):
+            nq = int(val[k].sum())
+            q = pts[k, :nq].astype(np.float64)
+            scores = matching.correlate_window_host(
+                score_grids[ids[k]].astype(np.float64),
+                orgs[k].astype(np.float64), res, q,
+                ths[k].astype(np.float64), n_linear,
+            )
+            ki, i, j = matching._argmax_center_tiebreak(
+                scores, n_linear
+            )
+            sc_host = scores[ki, i, j]
+            assert abs(out[k, 0] - sc_host) < 1e-4, k
+            pose0_host = np.array(
+                [
+                    (i - n_linear) * res + seeds[k, 0],
+                    (j - n_linear) * res + seeds[k, 1],
+                    ths[k, ki],
+                ]
+            )
+            np.testing.assert_allclose(
+                out[k, 1:4], pose0_host, atol=1e-5
+            )
+            wcov_host = matching.score_volume_cov(
+                scores, ths[k].astype(np.float64), seeds[k, 2], res,
+                n_linear,
+            )
+            np.testing.assert_allclose(
+                out[k, 4:13].reshape(3, 3), wcov_host,
+                rtol=1e-3, atol=1e-5,
+            )
+            ptsb = np.zeros((256, 2), np.float32)
+            ptsb[:nq] = q
+            vb = np.arange(256) < nq
+            refined, censi, probs = matching.refine_pose_cov(
+                jnp.asarray(highs[ids[k]]),
+                jnp.asarray(high_origins[ids[k]]), high_res,
+                jnp.asarray(ptsb), jnp.asarray(vb),
+                jnp.asarray(pose0_host, jnp.float32),
+            )
+            np.testing.assert_allclose(
+                out[k, 13:16], np.asarray(refined), atol=2e-4
+            )
+            ov_host = float(
+                ((np.asarray(probs) > 0.55) & vb).sum() / nq
+            )
+            assert abs(out[k, 25] - ov_host) < 0.05, k
