@@ -1164,7 +1164,11 @@ class SubmapLoopCloser:
         ):
             import jax.numpy as jnp
 
-            M = 1
+            # min 32: every pow2 stack growth recompiles the (large)
+            # pin_eval_batch program at ~12-18 s through the remote
+            # compile tunnel; starting at 32 makes one shape cover
+            # whole datasets
+            M = 32
             while M < len(self.submaps):
                 M *= 2
             arrs = [sm.get_spectrum(fft_size) for sm in self.submaps]
@@ -1180,7 +1184,7 @@ class SubmapLoopCloser:
         ):
             import jax.numpy as jnp
 
-            M = 1
+            M = 32  # see _get_spectra_stack
             while M < len(self.submaps):
                 M *= 2
             grids = [sm.high_res for sm in self.submaps]
@@ -1618,6 +1622,14 @@ class SubmapLoopCloser:
                 - _jnp.asarray(c[2], _jnp.float32)
                 for c in cands
             ]
+            kw = {}
+            if match_fn is not matching.match_candidates_pruned:
+                # per-submap cached spectra: one grid_spectrum per
+                # submap for the WHOLE sweep instead of per call
+                fsz = int(cands[0][0].score_grid.shape[0]) + 64
+                kw["spectra_list"] = [
+                    c[0].get_spectrum(fsz) for c in cands
+                ]
             ci, score, pose, cov = match_fn(
                 [c[0].score_grid for c in cands],
                 [c[0].pooled_grid for c in cands],
@@ -1627,6 +1639,7 @@ class SubmapLoopCloser:
                 spec,
                 float(min_sc),
                 stride,
+                **kw,
             )
             if ci is None:
                 continue

@@ -795,14 +795,34 @@ def pin_eval_batch(
     cx, cy = jax.vmap(cells_one)(pts, thetas, origins)  # (B, R, N)
     Fg = spectra[ids]  # (B, F, F2)
 
-    def score_one(cxb, cyb, vb, nvb, Fgb):
-        return _corr_planes_nudft(
-            jnp.broadcast_to(Fgb[None], (R,) + Fgb.shape), cxb, cyb,
-            vb, nvb, n_linear, size, fft_size,
-        )
-
-    scores = jax.vmap(score_one)(cx, cy, valid, n_valid, Fg)
-    # (B, R, W, W)
+    # many-plane/small-window regime (B*R planes, W ~ 17): histogram +
+    # FFT forward + partial matmul inverse (_corr_planes_hist
+    # docstring: the NUDFT forward's factor arrays are HBM-bound at
+    # this plane count). Planes are flattened so _rfft2_chunked keeps
+    # every FFT op at <= _FFT_MAX_BATCH transforms (a vmap here would
+    # multiply the batch invisibly into the degraded-precision
+    # regime); the per-query spectrum broadcasts into the product
+    # without materializing a (B*R, F, F2) copy.
+    F2 = fft_size // 2 + 1
+    N = pts.shape[1]
+    cx_f = cx.reshape(B * R, N)
+    cy_f = cy.reshape(B * R, N)
+    valid_f = jnp.repeat(valid, R, axis=0)
+    hist, n_in = _hist_onehot_masked(
+        cx_f, cy_f, valid_f, size, fft_size
+    )
+    Fh = _rfft2_chunked(hist)  # (B*R, F, F2)
+    S = (
+        jnp.conj(Fh).reshape(B, R, fft_size, F2) * Fg[:, None]
+    ).reshape(B * R, fft_size, F2)
+    corr = _partial_idft(
+        jnp.real(S).astype(jnp.float32),
+        jnp.imag(S).astype(jnp.float32), n_linear, fft_size,
+    )
+    nv_rep = jnp.repeat(n_valid, R, axis=0)
+    corr = corr + (nv_rep - n_in)[:, None, None] * PMIN
+    corr = corr / nv_rep[:, None, None]
+    scores = corr.reshape(B, R, W, W)
 
     d = jnp.arange(W) - n_linear
     r2 = (d[:, None] ** 2 + d[None, :] ** 2).astype(jnp.float32)
@@ -1677,9 +1697,25 @@ def _corr_planes_nudft(
     gi = jnp.imag(Fg)
     sr = fhr * gr - fhi * gi  # (K, F, F2)
     si = fhr * gi + fhi * gr
-    # partial inverse over v: stored half + hermitian complement.
-    # T[u,dy] = sum_{v<F2} S[u,v] e^{+i phi_v dy}
-    #         + sum_{v'=1..M} conj(S[(F-u)%F, v']) e^{-i phi_v' dy}
+    corr = _partial_idft(sr, si, n_linear, fft_size)
+    corr = corr + (n_valid - n_in)[:, None, None] * PMIN
+    return corr / n_valid
+
+
+def _partial_idft(sr, si, n_linear: int, fft_size: int):
+    """Inverse 2-D DFT of a half-width spectrum (K, F, F//2+1),
+    evaluated ONLY on the (2L+1)^2 search window -- matmuls instead of
+    a full inverse FFT. Real output; the missing spectrum half enters
+    through hermitian symmetry:
+    T[u,dy] = sum_{v<F2} S[u,v] e^{+i phi_v dy}
+            + sum_{v'=1..M} conj(S[(F-u)%F, v']) e^{-i phi_v' dy}."""
+    F = fft_size
+    F2 = F // 2 + 1
+    M = F - F2
+    u = jnp.arange(F, dtype=jnp.int32)
+    v = jnp.arange(F2, dtype=jnp.int32)
+    w = jnp.float32(2.0 * math.pi / F)
+    ein = functools.partial(jnp.einsum, precision=_HI)
     d = jnp.arange(-n_linear, n_linear + 1, dtype=jnp.int32)
     phd = ((v[:, None] * d[None, :]) % F).astype(jnp.float32) * w
     er = jnp.cos(phd)  # (F2, W)
@@ -1700,9 +1736,51 @@ def _corr_planes_nudft(
     phu = ((u[:, None] * d[None, :]) % F).astype(jnp.float32) * w
     eur = jnp.cos(phu)  # (F, W)
     eui = jnp.sin(phu)
-    corr = (
+    return (
         ein("kuw,ux->kxw", tr, eur) - ein("kuw,ux->kxw", ti, eui)
     ) / jnp.float32(F * F)
+
+
+def _hist_onehot_masked(cx, cy, valid, size: int, out_size: int):
+    """_hist_onehot with a PER-PLANE validity mask (K, N)."""
+    inb = (
+        valid & (cx >= 0) & (cx < size) & (cy >= 0) & (cy < size)
+    )
+    ii = jnp.arange(size)
+    ex = ((cx[:, :, None] == ii) & inb[:, :, None]).astype(jnp.bfloat16)
+    ey = ((cy[:, :, None] == ii)).astype(jnp.bfloat16)
+    hist = jnp.einsum(
+        "kpi,kpj->kij", ex, ey, preferred_element_type=jnp.float32
+    )
+    pad = out_size - size
+    if pad > 0:
+        hist = jnp.pad(hist, ((0, 0), (0, pad), (0, pad)))
+    return hist, jnp.sum(inb, axis=1)
+
+
+def _corr_planes_hist(
+    Fg,  # (K, F, F//2+1) complex64 grid spectra
+    cx, cy,  # (K, N)
+    valid,  # (K, N) per-plane point mask
+    n_valid,  # (K,)
+    n_linear: int,
+    size: int,
+    fft_size: int,
+):
+    """Many-plane/small-window exact correlator: MXU one-hot histogram
+    + FFT forward (cost independent of the point count after the
+    histogram collapse) + partial matmul inverse. Complements
+    _corr_planes_nudft, whose forward factors scale with
+    planes x points x F and become HBM-bound for hundreds of planes
+    (measured ~3 s/chunk on the 520-plane pin screen vs ~80 ms for
+    this path). Same values as _corr_planes to fp tolerance."""
+    hist, n_in = _hist_onehot_masked(cx, cy, valid, size, fft_size)
+    Fh = _rfft2_chunked(hist)
+    S = jnp.conj(Fh) * Fg
+    corr = _partial_idft(
+        jnp.real(S).astype(jnp.float32),
+        jnp.imag(S).astype(jnp.float32), n_linear, fft_size,
+    )
     corr = corr + (n_valid - n_in)[:, None, None] * PMIN
     return corr / n_valid
 
