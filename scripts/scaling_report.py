@@ -99,19 +99,27 @@ def model_section(g, args, n_blocks=128, iterations=20):
     t_iter = (time.perf_counter() - t0) / 3 / iterations
 
     # separator stage alone: dense (3S,3S) SPD solve, replicated on
-    # every device in the sharded version
+    # every device in the sharded version. Chained `iterations` times
+    # inside ONE program so per-dispatch RPC latency (which dominates
+    # a single ~ms solve through the remote tunnel) amortizes away,
+    # matching how the solve actually occurs inside the GN loop.
     A = jnp.eye(3 * S, dtype=jnp.float32) * 4.0 + 0.1
     b = jnp.ones((3 * S,), jnp.float32)
-    g_sep = jax.jit(
-        lambda A, b: jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(A, lower=True), b
-        )
-    )
+
+    @jax.jit
+    def g_sep(A, b):
+        def body(_, bb):
+            ch = jax.scipy.linalg.cho_factor(A, lower=True)
+            x = jax.scipy.linalg.cho_solve(ch, bb)
+            return x / jnp.maximum(jnp.abs(x).max(), 1e-20)
+
+        return jax.lax.fori_loop(0, iterations, body, b)
+
     jax.block_until_ready(g_sep(A, b))
     t0 = time.perf_counter()
     for _ in range(5):
         jax.block_until_ready(g_sep(A, b))
-    t_sep = (time.perf_counter() - t0) / 5
+    t_sep = (time.perf_counter() - t0) / 5 / iterations
     t_int = max(t_iter - t_sep, 0.0)
     sep_bytes = 4.0 * (9.0 * S * S + 3.0 * S)  # f32 psum payload
     print(

@@ -484,8 +484,14 @@ class SubmapLoopCloser:
             # on the Submap (fix_submap-style precompute) so the
             # MXU exact stage pays no per-query spectrum build.
             fft_sz = int(candidates[0][0].score_grid.shape[0]) + 64
+            # K=256: the exactness contract pages through planes whose
+            # coarse bound exceeds the accept floor; overlapping
+            # submaps put hundreds of planes above it, and at K=64 a
+            # miss cost 10-42 paging dispatches per tick (~30 ms RPC
+            # each through the tunnel). 4x the planes per pass costs
+            # ~10 ms of MXU time and collapses the page count.
             match_fn = _ft.partial(
-                matching.match_candidates_fused, c_bucket=16,
+                matching.match_candidates_fused, c_bucket=16, K=256,
                 spectra_list=[
                     c[0].get_spectrum(fft_sz) for c in candidates
                 ],
@@ -1559,7 +1565,7 @@ class SubmapLoopCloser:
             import functools as _ft
 
             match_fn = _ft.partial(
-                matching.match_candidates_fused, c_bucket=16
+                matching.match_candidates_fused, c_bucket=16, K=256,
             )
         stride = 1 << (max(1, cfg.branch_and_bound_depth) - 1)
         # sweep threshold: live floor minus the configured margin (the

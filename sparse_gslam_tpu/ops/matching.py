@@ -47,6 +47,10 @@ from .grid import PMIN
 # ~0.1-0.3 and is unaffected.
 SCORE_NOISE_BAND = 0.02
 
+# diagnostic counter: fused_match device dispatches (paging /
+# band-recall passes show up as >1 per wrapper call)
+FUSED_CALLS = 0
+
 # ---------------------------------------------------------------------------
 # search geometry (SearchParameters, correlative_scan_matcher_2d.cc:27-54)
 # ---------------------------------------------------------------------------
@@ -2116,6 +2120,8 @@ def match_candidates_fused(
             spec_stack = grid_spectrum(grids, int(fft_size), int(size))
 
         def call(mask):
+            global FUSED_CALLS
+            FUSED_CALLS += 1
             return jax.device_get(
                 fused_match(
                     grids, pooled, origs, jnp.asarray(thetas),
