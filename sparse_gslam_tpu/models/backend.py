@@ -124,6 +124,12 @@ class Closure:
     # again as more closures accumulate); distinct from `active`,
     # which is the permanent 11.345 chi2 prune
     suppressed: bool = False
+    # accept-time diagnostics (loop closures from the live matcher):
+    # drift of the accepted measurement from the graph prediction
+    # projected on the wide axis of its own covariance, and that
+    # axis's claimed sigma (see _match_search ridge arbitration)
+    along_drift: float = float("nan")
+    sigma_along: float = float("nan")
 
 
 class SubmapLoopCloser:
@@ -140,6 +146,7 @@ class SubmapLoopCloser:
         self.pg_info: list[np.ndarray] = []
         self.closures: list[Closure] = []
         self.false_closures = 0
+        self.ridge_drift_rejects = 0
         # grid geometry: big enough for traj_len + 2*range_max
         extent = (
             config.submap_trajectory_length + 2.0 * config.range_max + 2.0
@@ -605,6 +612,20 @@ class SubmapLoopCloser:
         self.prof["match_refine"] += _time.perf_counter() - _t
         cov = self._closure_cov(np.asarray(censi_cov, np.float64), cov)
 
+        along_drift, sigma_along, reject = self._ridge_drift_gate(
+            cov, refined, np.asarray(candidates[ci][2], np.float64)
+        )
+        if reject:
+            if os.environ.get("SLAM_LOG_MATCHES"):
+                print(
+                    f"[match] mid={snap['mid']} REJECT ridge-drift "
+                    f"anchor={sm.anchor_idx} along={along_drift:.2f}m "
+                    f"(sigma_along={sigma_along:.2f})",
+                    flush=True,
+                )
+            self.ridge_drift_rejects += 1
+            return None
+
         # diagnostic oracle gate (eval harness only): with
         # SLAM_GT_ORACLE=<name>.gt, reject closures whose measurement
         # disagrees with ground truth -- measures the accuracy CEILING
@@ -630,7 +651,39 @@ class SubmapLoopCloser:
                     flush=True,
                 )
                 return None
-        return dict(sm=sm, refined=refined, cov=cov)
+        return dict(
+            sm=sm, refined=refined, cov=cov,
+            along_drift=along_drift, sigma_along=sigma_along,
+        )
+
+    def _ridge_drift_gate(self, cov, refined, t_est):
+        """Along-ridge drift arbitration (ROADMAP round-5 #3): project
+        the accepted measurement's drift from the graph prediction
+        (search center t_est) onto the WIDE axis of its own
+        covariance. Along that axis the score surface declared itself
+        ambiguous (sigma_along > closure_ridge_sigma), so a large
+        claimed correction there is exactly the component the matcher
+        cannot actually see -- a corridor alias outscoring the true
+        pose by periodic self-similarity (measured accept-time drifts
+        on the sim worlds: true ridge closures at median 0.08 m, the
+        counted-false aliases at 1.46-4.19 m; see
+        utils/config.closure_ridge_max_drift).
+
+        Returns (along_drift, sigma_along, reject)."""
+        cfg = self.config
+        tcov = 0.5 * (cov[:2, :2] + cov[:2, :2].T)
+        w_e, V_e = np.linalg.eigh(tcov)
+        sigma_along = float(np.sqrt(max(w_e[1], 0.0)))
+        along_drift = float(
+            abs((np.asarray(refined[:2], np.float64) - t_est) @ V_e[:, 1])
+        )
+        max_ad = cfg.closure_ridge_max_drift
+        reject = bool(
+            max_ad > 0
+            and sigma_along > cfg.closure_ridge_sigma
+            and along_drift > max_ad
+        )
+        return along_drift, sigma_along, reject
 
     def _closure_cov(self, censi_cov: np.ndarray, win_cov: np.ndarray):
         """Closure covariance = high-res GN (Censi) measurement
@@ -901,6 +954,8 @@ class SubmapLoopCloser:
                     "loop", sm.anchor_idx, mid, result["refined"]
                 ),
                 info=np.linalg.inv(result["cov"]),
+                along_drift=result["along_drift"],
+                sigma_along=result["sigma_along"],
             )
         )
         self.optimize(iterations=20)

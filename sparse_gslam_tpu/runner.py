@@ -370,6 +370,38 @@ def main(argv=None):
                     f"median {np.median(true_w):.1f}, "
                     f"max {np.max(true_w):.1f} (n={len(true_w)})"
                 )
+            if os.environ.get("SLAM_LOG_CLOSURES"):
+                # full accept-order closure table (gate calibration)
+                for c, ok, rok in zip(
+                    active, pr["verdicts"], pr["ridge_verdicts"]
+                ):
+                    print(
+                        f"  closure kf{c.i}->kf{c.j} "
+                        f"{'TRUE ' if ok else 'false'}"
+                        f"{'' if rok else '/ridge-FALSE'} "
+                        f"drift={c.along_drift:.2f} "
+                        f"sig_along={c.sigma_along:.2f}"
+                    )
+            # accept-time along-ridge drift spread of the TRUE ridge
+            # closures (calibrates closure_ridge_max_drift: the gate
+            # must clear these while killing the aliases)
+            tad = [
+                c.along_drift
+                for c, ok in zip(active, pr["verdicts"])
+                if ok and np.isfinite(c.along_drift)
+                and c.sigma_along > slam_cfg.closure_ridge_sigma
+            ]
+            if tad:
+                print(
+                    "  true ridge closures along-drift: "
+                    f"median {np.median(tad):.2f} m, "
+                    f"max {np.max(tad):.2f} m (n={len(tad)})"
+                )
+            if system.backend.ridge_drift_rejects:
+                print(
+                    "  ridge-drift rejected matches: "
+                    f"{system.backend.ridge_drift_rejects}"
+                )
             for c, err, gi, gj, sig, w, rok, dec in false_rows:
                 tag = "ridge-ok" if rok else "ridge-FALSE"
                 print(
@@ -382,7 +414,8 @@ def main(argv=None):
                     f"chi2={chi2_of[(c.i, c.j)]:.1f} "
                     f"[{tag}: along={dec['along']:.2f}/"
                     f"sig {dec['sigma_along']:.2f}, "
-                    f"cross={dec['cross']:.2f}]"
+                    f"cross={dec['cross']:.2f}] "
+                    f"accept_drift={c.along_drift:.2f}m"
                 )
     return 0
 

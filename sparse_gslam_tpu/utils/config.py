@@ -177,6 +177,19 @@ class SlamConfig:
     # ~0.6) at the cost of discarding the partial along-ridge
     # correction genuine ridge matches carry.
     closure_ridge_mode: str = "window"
+    # Along-ridge drift arbitration (backend._match_search): reject a
+    # ridge-ambiguous live closure whose accepted measurement sits
+    # more than this many meters from the graph prediction ALONG its
+    # own wide covariance axis. Along that axis the matcher declared
+    # itself blind, so a large claimed correction there is a corridor
+    # alias (periodic self-similarity outscoring the true pose), not
+    # information. 0 disables the gate. Calibration (accept-time
+    # drift, sim worlds, round 5): true ridge closures sit at median
+    # 0.08 m with one genuine first-of-revisit correction at 2.83 m;
+    # counted-false aliases span 1.46-4.19 m; the 1.3 m default kills
+    # the five largest-pull killian aliases and both corridor aliases
+    # at the cost of that one large true correction.
+    closure_ridge_max_drift: float = 1.3
     # Global re-match sweep at final cleanup (backend.rematch_all):
     # match every submap pair within range, not just the live tail.
     final_rematch: bool = True

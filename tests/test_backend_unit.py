@@ -143,3 +143,73 @@ class TestMatchFlow:
             be.precompute()
         assert not be.match()
         assert be.closure_count == 0
+
+
+class TestRidgeDriftGate:
+    """Accept-time along-ridge drift arbitration
+    (backend._ridge_drift_gate; calibrated on the sim worlds, see
+    utils/config.closure_ridge_max_drift)."""
+
+    def _be(self, max_drift=1.3):
+        c = cfg()
+        c.closure_ridge_max_drift = max_drift
+        fe = make_frontend_with_path(
+            [np.array([0.5 * i, 0.0, 0.0]) for i in range(4)], c
+        )
+        return SubmapLoopCloser(c, fe)
+
+    @staticmethod
+    def _ridge_cov(sigma_along=0.9, sigma_cross=0.05, axis=0.0):
+        """(3,3) covariance with a translational ridge along `axis`."""
+        ca, sa = np.cos(axis), np.sin(axis)
+        V = np.array([[ca, -sa], [sa, ca]])
+        t = V @ np.diag([sigma_along**2, sigma_cross**2]) @ V.T
+        out = np.eye(3) * 1e-4
+        out[:2, :2] = t
+        return out
+
+    def test_alias_drift_rejected(self):
+        be = self._be()
+        cov = self._ridge_cov()
+        refined = np.array([2.0, 0.03, 0.0])  # 2 m along the ridge
+        along, sig, reject = be._ridge_drift_gate(
+            cov, refined, np.zeros(2)
+        )
+        assert reject
+        assert along == pytest.approx(2.0, abs=0.05)
+        assert sig == pytest.approx(0.9, abs=1e-6)
+
+    def test_true_ridge_closure_kept(self):
+        be = self._be()
+        # typical true ridge closure: small along-ridge drift
+        along, sig, reject = be._ridge_drift_gate(
+            self._ridge_cov(), np.array([0.15, 0.02, 0.0]), np.zeros(2)
+        )
+        assert not reject
+
+    def test_sharp_closure_never_gated(self):
+        be = self._be()
+        # sharp (junction-anchored) match: large drift is a genuine
+        # correction the matcher can actually see
+        along, sig, reject = be._ridge_drift_gate(
+            self._ridge_cov(sigma_along=0.1), np.array([2.0, 0.0, 0.0]),
+            np.zeros(2),
+        )
+        assert not reject
+
+    def test_gate_respects_ridge_axis(self):
+        be = self._be()
+        # drift CROSS the ridge is not along-ridge drift
+        cov = self._ridge_cov(axis=np.pi / 2)  # ridge along y
+        along, sig, reject = be._ridge_drift_gate(
+            cov, np.array([2.0, 0.1, 0.0]), np.zeros(2)
+        )
+        assert not reject
+        assert along == pytest.approx(0.1, abs=1e-6)
+
+    def test_disabled_by_zero(self):
+        be = self._be(max_drift=0.0)
+        _, _, reject = be._ridge_drift_gate(
+            self._ridge_cov(), np.array([5.0, 0.0, 0.0]), np.zeros(2)
+        )
+        assert not reject
