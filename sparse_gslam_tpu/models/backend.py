@@ -1726,9 +1726,22 @@ class SubmapLoopCloser:
                 # 0.198 -> 0.231 from sweep ridge closures whose
                 # along-axis gt error measured 1.4-5.0 m,
                 # scripts/edge_budget.py round 4).
+                # rematch_ridge_gate relaxes this to the along-ridge
+                # drift arbitration: at sweep time the graph is
+                # post-optimization, so the prediction (t_est) is an
+                # anchored prior and a ridge match drifting from it is
+                # an alias; one drifting little is a usable anchor.
                 w_t = np.linalg.eigvalsh(np.asarray(cov)[:2, :2])
                 if float(np.sqrt(w_t.max())) > cfg.closure_ridge_sigma:
-                    continue
+                    if not cfg.rematch_ridge_gate:
+                        continue
+                    _, _, rej = self._ridge_drift_gate(
+                        np.asarray(cov, np.float64), refined,
+                        np.asarray(cands[ci][2], np.float64),
+                    )
+                    if rej:
+                        self.ridge_drift_rejects += 1
+                        continue
             cov = self._closure_cov(
                 np.asarray(censi_cov, np.float64), cov
             )

@@ -207,6 +207,12 @@ class SlamConfig:
     # corridor aliases, which are mutually consistent by construction
     # (see rematch_all).
     rematch_skip_ridge: bool = True
+    # With rematch_skip_ridge, admit a sweep ridge closure anyway when
+    # it passes the along-ridge drift gate (closure_ridge_max_drift)
+    # against the post-optimization prediction -- the sweep-time
+    # equivalent of the live gate's arbitration (default off; measured
+    # per-world before enabling).
+    rematch_ridge_gate: bool = False
     # The sweep may accept below the live threshold by this margin
     # (floored at 0.5): sparse 11-beam queries put genuine revisits at
     # 0.62-0.69 against the live 0.7 bar (measured on sim-loops:
